@@ -1,0 +1,118 @@
+"""Shape-static resize ops matching torch interpolation semantics.
+
+DiGA's protocol depends on ``align_corners=True`` bilinear resizes
+(reference: train_DiGA_gta2city_warm_up.py:173-176,350;
+evaluate_val.py:79-84), which ``jax.image.resize`` does not implement.
+
+TPU-first design: bilinear interpolation is expressed as two small dense
+matmuls (separable row/column interpolation matrices built at trace time),
+which XLA maps straight onto the MXU instead of a VPU-bound gather chain.
+The matrices are numpy constants — no dynamic shapes, fully differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool = True) -> np.ndarray:
+    """(out_size, in_size) row-interpolation matrix, float32.
+
+    align_corners=True: src = o * (in-1)/(out-1)
+    align_corners=False: src = (o + 0.5) * in/out - 0.5  (clamped)
+    """
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1:
+        if align_corners:
+            A[0, 0] = 1.0
+        else:
+            src = 0.5 * in_size / 1.0 - 0.5
+            i0 = int(np.clip(np.floor(src), 0, in_size - 1))
+            i1 = min(i0 + 1, in_size - 1)
+            f = float(np.clip(src - i0, 0.0, 1.0))
+            A[0, i0] += 1.0 - f
+            A[0, i1] += f
+        return A
+    o = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = o * (in_size - 1) / (out_size - 1)
+    else:
+        src = np.clip((o + 0.5) * in_size / out_size - 0.5, 0, in_size - 1)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    f = (src - i0).astype(np.float32)
+    A[np.arange(out_size), i0] += 1.0 - f
+    A[np.arange(out_size), i1] += f
+    return A
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = True) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC) arrays via separable matmuls."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x[0] if squeeze else x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # HIGHEST keeps the MXU in fp32 accumulation: interpolation weights in
+    # bf16 would visibly shift eval logits and break mIoU parity.
+    prec = jax.lax.Precision.HIGHEST
+    if h != oh:
+        Ah = jnp.asarray(_interp_matrix(h, oh, align_corners))
+        xf = jnp.einsum("oh,bhwc->bowc", Ah, xf, precision=prec)
+    if w != ow:
+        Aw = jnp.asarray(_interp_matrix(w, ow, align_corners))
+        xf = jnp.einsum("ow,bhwc->bhoc", Aw, xf, precision=prec)
+    out = xf.astype(dtype)
+    return out[0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    """torch F.interpolate(mode='nearest') index rule: floor(o * in/out)."""
+    o = np.arange(out_size, dtype=np.float64)
+    idx = np.floor(o * (in_size / out_size)).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize for label/mask arrays.  Works on (..., H, W) or NHWC.
+
+    For (B, H, W) int labels the trailing dims are H, W.  For NHWC float
+    images pass ``channels_last=True`` via ``resize_nearest_nhwc``.
+    """
+    oh, ow = out_hw
+    h, w = x.shape[-2], x.shape[-1]
+    if (h, w) == (oh, ow):
+        return x
+    ih = jnp.asarray(_nearest_index(h, oh))
+    iw = jnp.asarray(_nearest_index(w, ow))
+    out = jnp.take(x, ih, axis=-2)
+    return jnp.take(out, iw, axis=-1)
+
+
+def resize_nearest_nhwc(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize for NHWC tensors (e.g. decoder 2x upsampling)."""
+    oh, ow = out_hw
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (oh, ow):
+        return x
+    ih = jnp.asarray(_nearest_index(h, oh))
+    iw = jnp.asarray(_nearest_index(w, ow))
+    out = jnp.take(x, ih, axis=-3)
+    return jnp.take(out, iw, axis=-2)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsample of NHWC (torch nn.Upsample(scale_factor=2))."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
