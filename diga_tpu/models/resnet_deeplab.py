@@ -1,0 +1,268 @@
+"""DeepLabv2 with a dilated ResNet-101 backbone (flax.linen, NHWC).
+
+Architecture parity with the reference (model/seg_model_noaux.py):
+  * Bottleneck with stride on the 1x1 conv (:60-79), BN affine frozen
+    (requires_grad False) but batch statistics live in training (:64-76)
+  * layer3 dilation 2, layer4 dilation 4, output stride 8 (:230-231)
+  * ceil-mode 3x3/2 max pool (:227)
+  * ASPP head ``Classifier_Module2`` (:140-214): 1x1 branch + dilated
+    3x3 branches (6/12/18/24), each Conv+GroupNorm(32)+ReLU; concat ->
+    SEBlock (:122-137) -> 3x3 Conv + GroupNorm bottleneck -> head =
+    ChannelDropout(0.1) + 1x1 conv (no bias), returning both the 256-d
+    head feature and the logits (:200-211)
+  * forward returns (shallow, deep, logits, feat) like SegModel
+    (model/model_noaux.py:28-46)
+
+TPU-first choices: NHWC layout, channel-last GroupNorm, bfloat16-friendly
+compute dtype knob (params stay fp32), no Python loops over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+# matches torch BN defaults: eps 1e-5; torch momentum 0.1 == flax 0.9
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def conv_init_normal(stddev: float):
+    return nn.initializers.normal(stddev=stddev)
+
+
+kaiming_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def max_pool_ceil(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndarray:
+    """Max pool with torch ceil_mode=True semantics (NHWC).
+
+    reference: seg_model_noaux.py:227 (MaxPool2d(3, 2, 1, ceil_mode=True))
+    """
+    _, h, w, _ = x.shape
+
+    def extra(n):
+        out = -(-(n + 2 * padding - window) // stride) + 1
+        # torch drops the last window if it would start in the padding
+        if (out - 1) * stride >= n + padding:
+            out -= 1
+        return (out - 1) * stride + window - n - padding
+
+    pad_h = (padding, extra(h))
+    pad_w = (padding, extra(w))
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm whose affine params are frozen in the optimizer.
+
+    The backbone BNs normalize with BATCH statistics during training and
+    update running stats, but their scale/bias receive no gradient
+    (reference: seg_model_noaux.py:63-76,223-225).  Freezing is enforced
+    by the optimizer mask (train/optim.py), which zeroes updates for every
+    param whose path contains 'frozen_bn'.  Cross-replica stat syncing is
+    implicit: under GSPMD jit the batch mean/var reduce over the full
+    logical batch.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="frozen_bn",
+        )(x)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck, stride on the 1x1 (reference :60-79)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init_normal(0.01), name="conv1")(x)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y, train)
+        y = nn.relu(y)
+        pad = self.dilation
+        y = nn.Conv(self.planes, (3, 3), padding=[(pad, pad), (pad, pad)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init_normal(0.01), name="conv2")(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init_normal(0.01), name="conv3")(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y, train)
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=conv_init_normal(0.01),
+                               name="downsample_conv")(x)
+            residual = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(residual, train)
+        return nn.relu(y + residual)
+
+
+class ResNetStage(nn.Module):
+    """A ResNet layer of ``blocks`` bottlenecks (reference :246-261)."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # downsample exists iff stride != 1, channel change, or dilation 2/4
+        in_ch = x.shape[-1]
+        has_ds = (
+            self.stride != 1
+            or in_ch != self.planes * 4
+            or self.dilation in (2, 4)
+        )
+        x = Bottleneck(self.planes, self.stride, self.dilation,
+                       has_downsample=has_ds, dtype=self.dtype, name="block0")(x, train)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, self.dilation,
+                           dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+class SEBlock(nn.Module):
+    """Squeeze-excitation over channels (reference :122-137)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        s = nn.Dense(c // self.reduction, dtype=self.dtype,
+                     kernel_init=kaiming_fan_out, name="fc1")(s.astype(self.dtype))
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, kernel_init=kaiming_fan_out, name="fc2")(s)
+        s = nn.sigmoid(s)
+        return x * s[:, None, None, :]
+
+
+class ASPPHead(nn.Module):
+    """Classifier_Module2: multi-dilation ASPP + SE + GN head.
+
+    reference: seg_model_noaux.py:140-214.  Returns (feat_256, logits).
+    """
+
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+    droprate: float = 0.1
+    use_se: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        branches = []
+        y = nn.Conv(256, (1, 1), use_bias=True, dtype=self.dtype,
+                    kernel_init=kaiming_fan_in, name="branch0_conv")(x)
+        y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="branch0_gn")(y)
+        branches.append(nn.relu(y))
+        for bi, d in enumerate(self.dilations, start=1):
+            y = nn.Conv(256, (3, 3), padding=[(d, d), (d, d)],
+                        kernel_dilation=(d, d), use_bias=True, dtype=self.dtype,
+                        kernel_init=kaiming_fan_in, name=f"branch{bi}_conv")(x)
+            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"branch{bi}_gn")(y)
+            branches.append(nn.relu(y))
+        out = jnp.concatenate(branches, axis=-1)
+        if self.use_se:
+            out = SEBlock(dtype=self.dtype, name="se")(out)
+        out = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                      dtype=self.dtype, kernel_init=kaiming_fan_in,
+                      name="bottleneck_conv")(out)
+        out = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="bottleneck_gn")(out)
+        # head: channel dropout then 1x1 classifier; 'feat' is the 256-d
+        # post-dropout tensor the prototype machinery consumes (:205-211)
+        feat = nn.Dropout(self.droprate, broadcast_dims=(1, 2),
+                          deterministic=not train, name="drop")(out)
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                         dtype=self.dtype, kernel_init=conv_init_normal(0.001),
+                         name="classifier")(feat)
+        return feat, logits
+
+
+class DeepLabV2(nn.Module):
+    """ResNet-101 DeepLabv2 returning (shallow, deep, logits, feat).
+
+    reference: model_noaux.py:10-46 (SegModel) over seg_model_noaux.py
+    ResNetMulti([3, 4, 23, 3]).
+    """
+
+    num_classes: int = 19
+    layers: Sequence[int] = (3, 4, 23, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=conv_init_normal(0.01), name="conv1")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = max_pool_ceil(x, window=3, stride=2, padding=1)
+        x = ResNetStage(64, self.layers[0], dtype=self.dtype, name="layer1")(x, train)
+        x = ResNetStage(128, self.layers[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+        shallow = x
+        x = ResNetStage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
+        deep = ResNetStage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
+        feat, logits = ASPPHead(self.num_classes, dtype=self.dtype, name="head")(deep, train)
+        return shallow, deep, logits, feat
+
+
+def head_param_mask(params) -> Any:
+    """Pytree of labels: 'head' (10x LR), 'frozen' (BN affine), 'backbone'.
+
+    Mirrors the reference's optimizer groups: get_1x_lr_params_NOscale
+    skips frozen BN params; layer5 (the ASPP head) runs at 10x LR
+    (seg_model_noaux.py:281-321).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label_of(path):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if any("frozen_bn" in str(k) for k in keys):
+            return "frozen"
+        if str(keys[0]) == "head":
+            return "head"
+        return "backbone"
+
+    labels = {tuple(str(getattr(p, "key", p)) for p in path): label_of(path) for path, _ in flat}
+
+    def build(path, _leaf):
+        return labels[tuple(str(getattr(p, "key", p)) for p in path)]
+
+    return jax.tree_util.tree_map_with_path(build, params)
