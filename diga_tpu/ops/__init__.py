@@ -11,6 +11,16 @@ from .losses import (
     seg_edge_loss,
 )
 from .metrics import RunningScore, confusion_update, scores_from_confusion
+from .mixing import crdomix, dacs_crossmix, sample_half_classes, selection_to_pixel_mask
+from .photometric import diga_photometric, gaussian_blur, photometric_chain
+from .prototypes import (
+    Centroids,
+    bilateral_consensus,
+    centroid_distance,
+    centroid_weight,
+    masked_class_means,
+    update_centroids,
+)
 from .resize import (
     resize_bilinear,
     resize_nearest,

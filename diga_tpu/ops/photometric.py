@@ -1,0 +1,174 @@
+"""On-device photometric augmentation (the reference's kornia chain).
+
+The reference builds kornia Sequential(ColorJitter(b=.4,c=.4,s=.2,h=.1,
+p=.5), RandomGrayscale(p=.3), RandomGaussianBlur(3x3, sigma=2, p=.8),
+RandomSharpness(.5, p=.3)) and blends ``beta*norm(aug(x)) + (1-beta)*x``
+(reference: train_DiGA_gta2city_warm_up.py:105-111,233).
+
+Here the chain runs INSIDE the jitted train step on device: the whole
+augmentation fuses into a handful of VPU passes, instead of the
+reference's separate kornia kernel launches and host round-trips.
+
+Design deviation (documented): the reference feeds kornia tensors in the
+model's normalized space, where kornia's [0,1]-image assumptions are
+off-distribution.  We de-normalize to unit RGB, apply photometric ops in
+their natural space, and re-normalize — same augmentation family and
+strengths, but with well-defined semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.normalize import IMG_MEAN_BGR
+
+# model space: BGR, (x*255-ish - mean)/128
+_MEAN = jnp.asarray(np.asarray(IMG_MEAN_BGR) / 255.0)  # BGR in unit space
+
+# luma weights in BGR channel order
+_GRAY_W_BGR = jnp.asarray([0.114, 0.587, 0.299])
+
+
+def to_unit(x_norm: jnp.ndarray) -> jnp.ndarray:
+    """model space -> unit BGR [~0,1]."""
+    return (x_norm * 128.0 / 255.0) + _MEAN
+
+
+def to_model(x_unit: jnp.ndarray) -> jnp.ndarray:
+    return (x_unit - _MEAN) * (255.0 / 128.0)
+
+
+def _rgb_from_bgr(x):
+    return x[..., ::-1]
+
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    rangec = maxc - minc
+    s = jnp.where(maxc > 0, rangec / jnp.maximum(maxc, 1e-8), 0.0)
+    safe_range = jnp.maximum(rangec, 1e-8)
+    rc = (maxc - r) / safe_range
+    gc = (maxc - g) / safe_range
+    bc = (maxc - b) / safe_range
+    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(rangec == 0, 0.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _gauss_kernel(ksize: int, sigma: float) -> np.ndarray:
+    ax = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-0.5 * (ax / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _gauss_kernel_2d(ksize: int, sigma: float) -> np.ndarray:
+    k = _gauss_kernel(ksize, sigma)
+    return np.outer(k, k)
+
+
+def gaussian_blur(x: jnp.ndarray, ksize: int = 3, sigma: float = 2.0) -> jnp.ndarray:
+    """Depthwise gaussian blur on NHWC with reflect padding."""
+    c = x.shape[-1]
+    k2 = jnp.asarray(_gauss_kernel_2d(ksize, sigma))
+    kern = jnp.zeros((ksize, ksize, 1, c), x.dtype).at[:, :, 0, :].set(k2[..., None])
+    pad = ksize // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, kern, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+def _per_image(p_apply, rng, b):
+    return jax.random.uniform(rng, (b, 1, 1, 1)) < p_apply
+
+
+def photometric_chain(
+    x_unit_bgr: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    brightness: float = 0.4,
+    contrast: float = 0.4,
+    saturation: float = 0.2,
+    hue: float = 0.1,
+    p_jitter: float = 0.5,
+    p_gray: float = 0.3,
+    p_blur: float = 0.8,
+    p_sharp: float = 0.3,
+    sharpness: float = 0.5,
+) -> jnp.ndarray:
+    """Apply the DiGA photometric stack to a unit-range BGR NHWC batch."""
+    b = x_unit_bgr.shape[0]
+    keys = jax.random.split(rng, 10)
+    x = x_unit_bgr
+
+    # --- color jitter (per-image random order approximated as fixed order) ---
+    apply_j = _per_image(p_jitter, keys[0], b)
+    bf = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+    cf = jax.random.uniform(keys[2], (b, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+    sf = jax.random.uniform(keys[3], (b, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+    hf = jax.random.uniform(keys[4], (b, 1, 1, 1), minval=-hue, maxval=hue)
+
+    xj = jnp.clip(x * bf, 0.0, 1.0)
+    mean_gray = jnp.mean(
+        jnp.sum(xj * _GRAY_W_BGR, axis=-1, keepdims=True), axis=(1, 2), keepdims=True
+    )
+    xj = jnp.clip((xj - mean_gray) * cf + mean_gray, 0.0, 1.0)
+    gray = jnp.sum(xj * _GRAY_W_BGR, axis=-1, keepdims=True)
+    xj = jnp.clip(gray + (xj - gray) * sf, 0.0, 1.0)
+    hsv = _rgb_to_hsv(_rgb_from_bgr(xj))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + hf[..., 0]) % 1.0)
+    xj = _rgb_from_bgr(_hsv_to_rgb(hsv))
+    x = jnp.where(apply_j, xj, x)
+
+    # --- random grayscale ---
+    apply_g = _per_image(p_gray, keys[5], b)
+    gray3 = jnp.sum(x * _GRAY_W_BGR, axis=-1, keepdims=True) * jnp.ones_like(x)
+    x = jnp.where(apply_g, gray3, x)
+
+    # --- gaussian blur ---
+    apply_b = _per_image(p_blur, keys[6], b)
+    x = jnp.where(apply_b, gaussian_blur(x, 3, 2.0), x)
+
+    # --- sharpness (unsharp-mask blend, kornia-style) ---
+    apply_s = _per_image(p_sharp, keys[7], b)
+    factor = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=0.0, maxval=sharpness)
+    smooth = gaussian_blur(x, 3, 1.0)
+    sharp = jnp.clip(x + (x - smooth) * factor, 0.0, 1.0)
+    x = jnp.where(apply_s, sharp, x)
+
+    return x
+
+
+def diga_photometric(x_norm: jnp.ndarray, rng: jax.Array, beta: float) -> jnp.ndarray:
+    """Full reference behavior: blend the augmented view at strength beta.
+
+    reference: sdatav_aug = beta * norm(extra_aug(x)) + (1-beta) * x
+    (train_DiGA_gta2city_warm_up.py:233, beta 0.4 warm-up / 0.3 ST).
+    """
+    unit = jnp.clip(to_unit(x_norm.astype(jnp.float32)), 0.0, 1.0)
+    aug = photometric_chain(unit, rng)
+    return beta * to_model(aug) + (1.0 - beta) * x_norm.astype(jnp.float32)
