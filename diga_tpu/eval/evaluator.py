@@ -1,0 +1,80 @@
+"""Two-scale max-merge evaluation.
+
+Protocol (must match the reference bit-for-bit for mIoU parity,
+reference: evaluate_val.py:73-93):
+  1. forward the full-resolution image
+  2. forward a bilinear (align_corners=True) downscale (e.g. 512x1024)
+  3. upsample both logit maps to label resolution (align_corners=True)
+  4. elementwise max-merge, argmax
+  5. accumulate the confusion matrix — on device here, host numpy there
+
+The whole per-image pipeline is one jitted program per (scale-pair);
+prediction never leaves the device, only the final (K, K) matrix does.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.metrics import RunningScore, confusion_update
+from ..ops.resize import resize_bilinear
+
+
+def two_scale_logits(
+    apply_fn: Callable,
+    image: jnp.ndarray,
+    out_hw: tuple[int, int],
+    ds_hw: tuple[int, int],
+) -> jnp.ndarray:
+    """max(upsample(f(x)), upsample(f(downscale(x)))) at out_hw."""
+    logits_full = apply_fn(image)
+    image_ds = resize_bilinear(image, ds_hw)
+    logits_ds = apply_fn(image_ds)
+    up_full = resize_bilinear(logits_full, out_hw)
+    up_ds = resize_bilinear(logits_ds, out_hw)
+    return jnp.maximum(up_full, up_ds)
+
+
+class TwoScaleEvaluator:
+    """Streaming two-scale evaluator over a dataset iterator.
+
+    ``apply_fn(image) -> logits`` must be the inference-mode model (NHWC
+    in, NHWK logits out at any stride).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        num_classes: int = 19,
+        out_hw: tuple[int, int] = (1024, 2048),
+        ds_hw: tuple[int, int] = (512, 1024),
+    ):
+        self.num_classes = num_classes
+        self.out_hw = out_hw
+        self.ds_hw = ds_hw
+        self.score = RunningScore(num_classes)
+
+        @jax.jit
+        def _step(conf, image, label):
+            merged = two_scale_logits(apply_fn, image, out_hw, ds_hw)
+            pred = jnp.argmax(merged, axis=-1)
+            return confusion_update(conf, label, pred, num_classes), pred
+
+        self._step = _step
+
+    def update(self, image, label):
+        self.score.confusion, pred = self._step(
+            self.score.confusion, jnp.asarray(image), jnp.asarray(label)
+        )
+        return pred
+
+    def run(self, batches, progress: bool = False) -> tuple[dict, dict]:
+        for i, batch in enumerate(batches):
+            self.update(batch["image"], batch["label"])
+            if progress and i % 50 == 0:
+                print(f"eval: {i} batches processed", flush=True)
+        return self.score.get_scores()

@@ -57,9 +57,10 @@ def max_pool_ceil(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp
 
     pad_h = (padding, extra(h))
     pad_w = (padding, extra(w))
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init is required for JAX to recognize this as a differentiable
+    # max-pool (finfo.min falls back to a non-differentiable reduce_window)
     return jax.lax.reduce_window(
-        x, neg, jax.lax.max,
+        x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), pad_h, pad_w, (0, 0)),

@@ -1,0 +1,170 @@
+"""Image domain translator: per-domain encoder/decoder + multi-scale
+PatchGAN discriminator (flax.linen, NHWC).
+
+Architecture parity with the reference (model/model_noaux.py:80-147,
+blocks in model/model_util.py:21-174):
+  * ImgEncoder: 7x7 conv (reflect, InstanceNorm, ReLU) -> two 4x4/2
+    downsamples -> 4 residual blocks; output 256ch at 1/4 res
+  * ImgDecoder: 4 residual blocks -> two [2x nearest upsample + 5x5 conv
+    IN ReLU] -> 7x7 conv + tanh
+  * Discriminator: 3 scales (AvgPool 3/2 count_include_pad=False between
+    scales) of 4-layer 4x4/2 LeakyReLU conv stacks + 1x1 score head
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def instance_norm(name: str, dtype=jnp.float32):
+    # torch InstanceNorm2d(affine=False): per-channel spatial normalization
+    return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                        use_scale=False, epsilon=1e-5, dtype=dtype, name=name)
+
+
+def reflect_pad(x, p: int):
+    if p == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+class ConvBlock(nn.Module):
+    """Conv2dBlock: pad -> conv -> (IN) -> activation.
+
+    reference: model_util.py:121-174
+    """
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    norm: str = "in"          # 'in' | 'none'
+    activation: str = "relu"  # 'relu' | 'lrelu' | 'tanh' | 'none'
+    pad_type: str = "reflect"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.pad_type == "reflect":
+            x = reflect_pad(x, self.padding)
+        else:
+            p = self.padding
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="VALID",
+                    use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
+        if self.norm == "in":
+            x = instance_norm("norm", self.dtype)(x)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "lrelu":
+            x = nn.leaky_relu(x, 0.2)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Two 3x3 IN conv blocks + skip (reference: model_util.py:48-61)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBlock(self.dim, 3, 1, 1, norm="in", activation="relu",
+                      dtype=self.dtype, name="conv0")(x)
+        y = ConvBlock(self.dim, 3, 1, 1, norm="in", activation="none",
+                      dtype=self.dtype, name="conv1")(y)
+        return x + y
+
+
+class ImgEncoder(nn.Module):
+    """reference: model_noaux.py:80-96"""
+
+    dim: int = 64
+    n_downsample: int = 2
+    n_res: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        x = ConvBlock(d, 7, 1, 3, dtype=self.dtype, name="stem")(x)
+        for i in range(self.n_downsample):
+            x = ConvBlock(2 * d, 4, 2, 1, dtype=self.dtype, name=f"down{i}")(x)
+            d *= 2
+        for i in range(self.n_res):
+            x = ResBlock(d, dtype=self.dtype, name=f"res{i}")(x)
+        return x
+
+
+class ImgDecoder(nn.Module):
+    """reference: model_noaux.py:100-117"""
+
+    dim: int = 256
+    out_ch: int = 3
+    n_upsample: int = 2
+    n_res: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+        for i in range(self.n_res):
+            x = ResBlock(d, dtype=self.dtype, name=f"res{i}")(x)
+        for i in range(self.n_upsample):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+            x = ConvBlock(d // 2, 5, 1, 2, dtype=self.dtype, name=f"up{i}")(x)
+            d //= 2
+        return ConvBlock(self.out_ch, 7, 1, 3, norm="none", activation="tanh",
+                         dtype=self.dtype, name="out")(x)
+
+
+def avg_pool_3x3s2_no_pad_count(x):
+    """torch AvgPool2d(3, 2, padding=1, count_include_pad=False) on NHWC."""
+    ones = jnp.ones_like(x[..., :1])
+    sum_x = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    cnt = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    return sum_x / cnt
+
+
+class Discriminator(nn.Module):
+    """3-scale PatchGAN, LSGAN objective (reference: model_noaux.py:119-147)."""
+
+    dim: int = 64
+    n_layer: int = 4
+    num_scales: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> list[jnp.ndarray]:
+        outputs = []
+        for s in range(self.num_scales):
+            y = x
+            d = self.dim
+            y = ConvBlock(d, 4, 2, 1, norm="none", activation="lrelu",
+                          pad_type="zero", use_bias=False, dtype=self.dtype,
+                          name=f"scale{s}_conv0")(y)
+            for i in range(self.n_layer - 1):
+                y = ConvBlock(2 * d, 4, 2, 1, norm="none", activation="lrelu",
+                              pad_type="zero", use_bias=False, dtype=self.dtype,
+                              name=f"scale{s}_conv{i + 1}")(y)
+                d *= 2
+            y = nn.Conv(1, (1, 1), dtype=self.dtype, name=f"scale{s}_head")(y)
+            outputs.append(y)
+            x = avg_pool_3x3s2_no_pad_count(x)
+        return outputs

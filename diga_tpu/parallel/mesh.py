@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers (single-controller JAX over ICI).
+
+The reference has no distributed layer at all (SURVEY.md §2.1/§5.8): its
+only multi-device artifact is an unused sync-BN implementation.  The
+TPU-native equivalent is a 1-axis data mesh: batches shard over 'data',
+params replicate, and XLA inserts the gradient all-reduce and global BN
+statistics automatically under GSPMD jit.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+pass per-host shards of the file lists to the loaders (data/datasets.py
+EpochShuffleSampler already shards by host).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """device_put a host batch with the leading axis sharded over 'data'."""
+    bs = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = jax.device_put(v, bs)
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,280 @@
+"""Compiled train steps for the DG / warm-up / self-training stages.
+
+Each builder returns a pure function ``(state, batch) -> (state, metrics)``
+meant to be wrapped in ``jax.jit`` (optionally with shardings over a data
+mesh).  EVERYTHING in the reference's per-iteration loop that touches
+tensors happens inside this one program: EMA update, photometric aug,
+translator apply, CrDoMix/CutMix mask build, teacher+student forwards,
+losses, centroid updates, and the SGD step.  The reference instead mixed
+host Python (unique/sample per image, per-step D2H visualization) into
+the loop (SURVEY.md §3.1) — those stalls are the throughput this design
+buys back.
+
+Stage semantics follow:
+  * DG:            train_DiGA_DG.py:188-275
+  * warm-up:       train_DiGA_gta2city_warm_up.py:197-305
+  * self-training: train_DiGA_gta2city_self_training.py:214-387
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses as L
+from ..ops import mixing, prototypes
+from ..ops.ema import ema_alpha, ema_update
+from ..ops.photometric import diga_photometric
+from ..ops.resize import resize_bilinear
+from .state import SegTrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    num_classes: int = 19
+    crop_hw: tuple[int, int] = (512, 896)
+    beta: float = 0.4                    # photometric blend strength
+    lambda_seg: float = 1.0
+    lambda_distil: float = 0.5
+    seg_loss: str = "ce"                 # 'ce' | 'ohem'
+    ema_cap: float = 0.999
+    distil_scale: float = 0.5
+    ohem_thresh: float = 0.7
+    ohem_min_kept: int = 100_000
+
+
+def _seg_loss_fn(cfg: StepConfig) -> Callable:
+    if cfg.seg_loss == "ohem":
+        return lambda lg, lb: L.ohem_cross_entropy(
+            lg, lb, thresh=cfg.ohem_thresh, min_kept=cfg.ohem_min_kept
+        )
+    return L.cross_entropy2d
+
+
+def _student_apply(model, params, batch_stats, x, rng, train=True):
+    (sh, dp, logits, feat), mut = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x, train=train, rngs={"dropout": rng}, mutable=["batch_stats"],
+    )
+    return logits, feat, mut["batch_stats"]
+
+
+def build_dg_step(model, optimizer, cfg: StepConfig):
+    """Domain generalization: CE + symmetric distillation on photometric
+    views only (no translator, no CrDoMix).  reference: train_DiGA_DG.py."""
+
+    seg_loss = _seg_loss_fn(cfg)
+
+    def step(state: SegTrainState, batch: dict):
+        rng, k_aug, k_sdrop, k_tdrop = jax.random.split(state.rng, 4)
+        s_img, s_lbl = batch["s_img"], batch["s_lbl"]
+        b = s_img.shape[0]
+
+        teacher_params = ema_update(
+            state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
+        )
+
+        s_aug = diga_photometric(s_img, k_aug, cfg.beta)
+        s_cat = jnp.concatenate([s_img, s_aug], axis=0)
+
+        # teacher forward (train-mode BN + dropout, like the reference's
+        # never-eval'd teacher); its BN stats evolve independently
+        t_logits, _, teacher_bs = _student_apply(
+            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop
+        )
+        t_logits_up = resize_bilinear(t_logits, cfg.crop_hw)
+        t_logits_up = jax.lax.stop_gradient(t_logits_up)
+
+        def loss_fn(params):
+            logits, _, new_bs = _student_apply(
+                model, params, state.batch_stats, s_cat, k_sdrop
+            )
+            logits_up = resize_bilinear(logits, cfg.crop_hw)
+            ce = seg_loss(logits_up[:b], s_lbl)
+            distil = L.distillation_loss(t_logits_up, logits_up, cfg.distil_scale)
+            total = cfg.lambda_seg * ce + cfg.lambda_distil * distil
+            return total, (ce, distil, new_bs)
+
+        (total, (ce, distil, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            teacher_params=teacher_params,
+            teacher_batch_stats=teacher_bs,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        metrics = {"loss": total, "loss_semseg": ce, "loss_distil": distil}
+        return new_state, metrics
+
+    return step
+
+
+def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
+    """UDA warm-up: DG step + frozen translator + CrDoMix second view.
+
+    ``translator_apply(frozen, x) -> x_translated`` wraps enc_s/dec_s2t.
+    reference: train_DiGA_gta2city_warm_up.py:197-305.
+    """
+
+    seg_loss = _seg_loss_fn(cfg)
+
+    def step(state: SegTrainState, batch: dict):
+        rng, k_aug, k_mix, k_sdrop, k_tdrop = jax.random.split(state.rng, 5)
+        s_img, s_lbl = batch["s_img"], batch["s_lbl"]
+        b = s_img.shape[0]
+
+        teacher_params = ema_update(
+            state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
+        )
+
+        s_aug = diga_photometric(s_img, k_aug, cfg.beta)
+        rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
+        s_crdomix = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix, cfg.num_classes)
+        s_cat = jnp.concatenate([s_img, s_crdomix], axis=0)
+
+        t_logits, _, teacher_bs = _student_apply(
+            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop
+        )
+        t_logits_up = jax.lax.stop_gradient(resize_bilinear(t_logits, cfg.crop_hw))
+
+        def loss_fn(params):
+            logits, _, new_bs = _student_apply(
+                model, params, state.batch_stats, s_cat, k_sdrop
+            )
+            logits_up = resize_bilinear(logits, cfg.crop_hw)
+            ce = seg_loss(logits_up[:b], s_lbl)
+            distil = L.distillation_loss(t_logits_up, logits_up, cfg.distil_scale)
+            total = cfg.lambda_seg * ce + cfg.lambda_distil * distil
+            return total, (ce, distil, new_bs)
+
+        (total, (ce, distil, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            teacher_params=teacher_params,
+            teacher_batch_stats=teacher_bs,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        metrics = {"loss": total, "loss_semseg": ce, "loss_distil": distil}
+        return new_state, metrics
+
+    return step
+
+
+def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
+    """Self-training: warm-up step + bilateral-consensus pseudo-labels,
+    online centroid EMA, and DACS CutMix on the target.
+
+    reference: train_DiGA_gta2city_self_training.py:214-387.
+    """
+
+    seg_loss = _seg_loss_fn(cfg)
+
+    def step(state: SegTrainState, batch: dict):
+        rng, k_aug_s, k_aug_t, k_mix1, k_mix2, k_sdrop, k_tdrop, k_tdrop2, k_cdrop = (
+            jax.random.split(state.rng, 9)
+        )
+        s_img, s_lbl = batch["s_img"], batch["s_lbl"]
+        t_img, t_pseudo = batch["t_img"], batch["t_pseudo"]
+        b = s_img.shape[0]
+
+        teacher_params = ema_update(
+            state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
+        )
+
+        s_aug = diga_photometric(s_img, k_aug_s, cfg.beta)
+        t_aug = diga_photometric(t_img, k_aug_t, cfg.beta)
+        rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
+        s_crdomix = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix1, cfg.num_classes)
+        s_cat = jnp.concatenate([s_img, s_crdomix], axis=0)
+
+        # ---- teacher forwards (no grad) ----
+        st_logits, st_feat, teacher_bs = _student_apply(
+            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop
+        )
+        tt_logits, tt_feat, teacher_bs = _student_apply(
+            model, teacher_params, teacher_bs, t_img, k_tdrop2
+        )
+        st_logits = jax.lax.stop_gradient(st_logits)
+        st_feat = jax.lax.stop_gradient(st_feat)
+        tt_logits = jax.lax.stop_gradient(tt_logits)
+        tt_feat = jax.lax.stop_gradient(tt_feat)
+        st_logits_up = resize_bilinear(st_logits, cfg.crop_hw)
+
+        # ---- bilateral consensus (reference :297-304) ----
+        weights = prototypes.centroid_weight(tt_feat, state.centroids.vectors)
+        weights_up = resize_bilinear(weights, cfg.crop_hw)
+        t_consensus = prototypes.bilateral_consensus(t_pseudo, weights_up)
+
+        # ---- DACS crossmix: source classes pasted into the photometric
+        # target view (reference :306-325) ----
+        cross_img, cross_lbl = mixing.dacs_crossmix(
+            t_aug, s_img, s_lbl, t_consensus, k_mix2, cfg.num_classes
+        )
+
+        # ---- online centroid updates from teacher feats (reference :327-341) ----
+        vec_t, ok_t = prototypes.masked_class_means(tt_feat, tt_logits, t_consensus)
+        cents = prototypes.update_centroids(
+            state.centroids, vec_t, ok_t, start_mean=False
+        )
+        vec_s, ok_s = prototypes.masked_class_means(
+            st_feat[b:], st_logits[b:], s_lbl
+        )
+        cents = prototypes.update_centroids(cents, vec_s, ok_s, start_mean=False)
+
+        def loss_fn(params):
+            logits, _, bs1 = _student_apply(
+                model, params, state.batch_stats, s_cat, k_sdrop
+            )
+            cross_logits, _, bs2 = _student_apply(model, params, bs1, cross_img, k_cdrop)
+            logits_up = resize_bilinear(logits, cfg.crop_hw)
+            cross_up = resize_bilinear(cross_logits, cfg.crop_hw)
+            ce = seg_loss(logits_up[:b], s_lbl)
+            ce_cross = seg_loss(cross_up, cross_lbl)
+            distil = L.distillation_loss(st_logits_up, logits_up, cfg.distil_scale)
+            total = cfg.lambda_seg * (ce + ce_cross) + cfg.lambda_distil * distil
+            return total, (ce, ce_cross, distil, bs2)
+
+        (total, (ce, ce_cross, distil, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            teacher_params=teacher_params,
+            teacher_batch_stats=teacher_bs,
+            opt_state=opt_state,
+            rng=rng,
+            centroids=cents,
+        )
+        metrics = {
+            "loss": total,
+            "loss_semseg": ce,
+            "loss_crossmix": ce_cross,
+            "loss_distil": distil,
+            "consensus_kept": jnp.mean((t_consensus != 255).astype(jnp.float32)),
+        }
+        return new_state, metrics
+
+    return step

@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the env var alone is not enough when a TPU platform plugin (e.g. 'axon')
+# pre-set JAX_PLATFORMS in the parent environment — force it via config too
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
