@@ -1,0 +1,101 @@
+"""Benchmark: GTA5->Cityscapes warm-up train step, reference configuration.
+
+Measures sustained source-images/sec of the flagship DiGA warm-up step
+(DeepLabv2-ResNet101 student+teacher, crop 512x896, batch 3 source images
+doubled into clean+CrDoMix views, frozen translator apply, grouped SGD)
+on the available accelerator.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md).  The
+recorded comparison constant below is an engineering estimate of the
+reference PyTorch script on its stated RTX 8000 dev GPU:
+~17.5 TFLOPs/step at ~40% fp32 utilization plus its per-step host syncs
+=> ~2.5 source imgs/sec.  BASELINE.json's north star is >=3x that on a
+v4-8; vs_baseline here is measured_imgs_per_sec / (3 * 2.5).
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_RTX8000_IMGS_PER_SEC = 2.5   # estimated reference throughput (see above)
+TARGET_MULT = 3.0                 # BASELINE.json: >=3x reference
+
+CROP = (512, 896)
+BATCH = 3                         # reference effective batch (warm_up.py:80-82)
+NCLS = 19
+
+
+def build():
+    from diga_tpu.models.resnet_deeplab import DeepLabV2, head_param_mask
+    from diga_tpu.models.translator import ImgDecoder, ImgEncoder
+    from diga_tpu.train.optim import sgd_grouped
+    from diga_tpu.train.schedules import poly_schedule
+    from diga_tpu.train.state import create_seg_state
+    from diga_tpu.train.steps import StepConfig, build_warmup_step
+
+    rng = jax.random.PRNGKey(0)
+    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, remat=True)
+
+    x = jnp.zeros((1, *CROP, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": rng, "dropout": rng}, x, train=False)
+    )()
+    opt = sgd_grouped(poly_schedule(2.5e-4, 80_000), head_param_mask(variables["params"]))
+
+    enc = ImgEncoder(dtype=jnp.bfloat16)
+    dec = ImgDecoder(dtype=jnp.bfloat16)
+    small = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    enc_p = jax.jit(lambda: enc.init(rng, small)["params"])()
+    dec_p = jax.jit(lambda: dec.init(rng, enc.apply({"params": enc_p}, small))["params"])()
+    frozen = {"enc_s": enc_p, "dec_s2t": dec_p}
+
+    def translator_apply(fz, img):
+        return dec.apply({"params": fz["dec_s2t"]}, enc.apply({"params": fz["enc_s"]}, img))
+
+    state = create_seg_state(model, opt, rng, CROP, frozen=frozen)
+    step = jax.jit(
+        build_warmup_step(model, translator_apply, opt, StepConfig(crop_hw=CROP)),
+        donate_argnums=(0,),
+    )
+    return state, step
+
+
+def main():
+    state, step = build()
+    rr = np.random.default_rng(0)
+    batch = {
+        "s_img": jnp.asarray(rr.normal(size=(BATCH, *CROP, 3)).astype(np.float32) * 0.5),
+        "s_lbl": jnp.asarray(rr.integers(0, NCLS, size=(BATCH, *CROP)).astype(np.int32)),
+    }
+
+    # compile + warm-up
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * n_steps / dt
+    vs_baseline = imgs_per_sec / (TARGET_MULT * REF_RTX8000_IMGS_PER_SEC)
+    print(json.dumps({
+        "metric": "gta2city_warmup_train_imgs_per_sec",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

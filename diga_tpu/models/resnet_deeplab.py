@@ -225,9 +225,13 @@ class DeepLabV2(nn.Module):
     num_classes: int = 19
     layers: Sequence[int] = (3, 4, 23, 3)
     dtype: Dtype = jnp.float32
+    # rematerialize each stage in backward: trades ~30% more FLOPs for the
+    # activation memory of a 6-image 512x896 batch fitting a single chip
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        stage = nn.remat(ResNetStage, static_argnums=(2,)) if self.remat else ResNetStage
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype,
@@ -235,11 +239,11 @@ class DeepLabV2(nn.Module):
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool_ceil(x, window=3, stride=2, padding=1)
-        x = ResNetStage(64, self.layers[0], dtype=self.dtype, name="layer1")(x, train)
-        x = ResNetStage(128, self.layers[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
+        x = stage(64, self.layers[0], dtype=self.dtype, name="layer1")(x, train)
+        x = stage(128, self.layers[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
         shallow = x
-        x = ResNetStage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
-        deep = ResNetStage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
+        x = stage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
+        deep = stage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
         feat, logits = ASPPHead(self.num_classes, dtype=self.dtype, name="head")(deep, train)
         return shallow, deep, logits, feat
 
