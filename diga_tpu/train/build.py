@@ -1,0 +1,197 @@
+"""Assemble model + optimizer + state + jitted step from a preset config.
+
+This is the glue every CLI uses; it also wires pretrained/previous-stage
+weights through the torch-interop converters (the reference's stage
+chaining: warm-up dir -> self-training --load_weight_dir,
+train_DiGA_gta2city_self_training.py:34,165).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import ExperimentConfig
+from ..models import convert
+from ..models.resnet_deeplab import DeepLabV2, head_param_mask
+from ..models.translator import Discriminator, ImgDecoder, ImgEncoder
+from ..ops.prototypes import Centroids
+from ..parallel import make_mesh, replicated
+from .optim import sgd_grouped
+from .schedules import poly_schedule, poly_warmup_schedule
+from .state import SegTrainState, create_seg_state
+from .steps import StepConfig, build_dg_step, build_selftrain_step, build_warmup_step
+
+
+def make_model(cfg: ExperimentConfig):
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.extra.get("model") == "hrnet_ocr":
+        from ..models.hrnet_ocr import HRNetOCR
+
+        return HRNetOCR(num_classes=cfg.train.num_classes, dtype=dtype)
+    return DeepLabV2(num_classes=cfg.train.num_classes, dtype=dtype,
+                     remat=cfg.train.remat)
+
+
+def make_schedule(cfg: ExperimentConfig):
+    t = cfg.train
+    if t.lr_warmup > 0:
+        return poly_warmup_schedule(t.learning_rate, t.num_steps, t.lr_warmup, t.power)
+    return poly_schedule(t.learning_rate, t.num_steps, t.power)
+
+
+def make_step_config(cfg: ExperimentConfig) -> StepConfig:
+    t = cfg.train
+    return StepConfig(
+        num_classes=t.num_classes,
+        crop_hw=t.crop_hw,
+        beta=t.beta,
+        lambda_seg=t.lambda_seg,
+        lambda_distil=t.lambda_distil,
+        seg_loss=t.seg_loss,
+    )
+
+
+def make_translator_modules(cfg: ExperimentConfig):
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    enc = ImgEncoder(dtype=dtype)
+    dec = ImgDecoder(dtype=dtype)
+
+    def translator_apply(frozen, img):
+        z = enc.apply({"params": frozen["enc_s"]}, img)
+        return dec.apply({"params": frozen["dec_s2t"]}, z)
+
+    return enc, dec, translator_apply
+
+
+def init_translator_frozen(cfg: ExperimentConfig, weight_dir: str | None, rng) -> dict:
+    """Load enc_s/dec_s2t from a role-keyed dir, or random-init (tests)."""
+    enc, dec, _ = make_translator_modules(cfg)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    enc_p = enc.init(rng, x)["params"]
+    dec_p = dec.init(rng, enc.apply({"params": enc_p}, x))["params"]
+    if weight_dir and os.path.exists(os.path.join(weight_dir, "enc_s.pth")):
+        from ..models.convert_translator import encoder_from_torch, decoder_from_torch
+        from ..utils.checkpoint import load_role_keyed
+
+        sds = load_role_keyed(weight_dir, ["enc_s", "dec_s2t"])
+        enc_p = encoder_from_torch(sds["enc_s"])
+        dec_p = decoder_from_torch(sds["dec_s2t"])
+    return {"enc_s": enc_p, "dec_s2t": dec_p}
+
+
+def build_experiment(
+    cfg: ExperimentConfig,
+    load_weight_dir: str | None = None,
+    centroid_path: str | None = None,
+    mesh=None,
+    pretrained_backbone: str | None = None,
+):
+    """Returns (state, jitted_step, eval_apply_fn, model)."""
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    model = make_model(cfg)
+
+    # params needed before optimizer (label tree)
+    x = jnp.zeros((1, *cfg.train.crop_hw, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    labels = head_param_mask(variables["params"])
+    if cfg.train.head_lr_mult == 1.0:
+        labels = jax.tree_util.tree_map(
+            lambda l: "backbone" if l == "head" else l, labels
+        )
+    opt = sgd_grouped(
+        make_schedule(cfg), labels,
+        momentum=cfg.train.momentum, weight_decay=cfg.train.weight_decay,
+        head_mult=cfg.train.head_lr_mult,
+    )
+
+    frozen = None
+    if cfg.stage in ("warmup", "selftrain"):
+        frozen = init_translator_frozen(cfg, load_weight_dir, rng)
+
+    centroids = None
+    feat_dim = cfg.extra.get("feat_dim", 256)
+    if cfg.stage == "selftrain":
+        if centroid_path and os.path.exists(centroid_path):
+            vec = np.load(centroid_path) if centroid_path.endswith(".npy") else _load_centroids_torch(centroid_path)
+            centroids = Centroids(
+                vectors=jnp.asarray(vec, jnp.float32),
+                counts=jnp.full((cfg.train.num_classes,), 100.0, jnp.float32),
+            )
+        else:
+            centroids = Centroids.create(cfg.train.num_classes, feat_dim)
+
+    state = create_seg_state(model, opt, rng, cfg.train.crop_hw,
+                             centroids=centroids, frozen=frozen)
+
+    # weight loading: pretrained backbone, or a previous stage's student
+    if pretrained_backbone and os.path.exists(pretrained_backbone):
+        sd = convert.load_torch_state_dict(pretrained_backbone)
+        p_bb, s_bb = convert.segmodel_from_torch(sd)
+        params, stats = convert.merge_pretrained_backbone(
+            jax.tree_util.tree_map(np.asarray, state.params),
+            jax.tree_util.tree_map(np.asarray, state.batch_stats), p_bb, s_bb)
+        state = state.replace(
+            params=params, batch_stats=stats,
+            teacher_params=jax.tree_util.tree_map(np.copy, params),
+            teacher_batch_stats=jax.tree_util.tree_map(np.copy, stats),
+        )
+    if load_weight_dir and os.path.exists(os.path.join(load_weight_dir, "student.pth")):
+        sd = convert.load_torch_state_dict(os.path.join(load_weight_dir, "student.pth"))
+        p, s = convert.segmodel_from_torch(sd)
+        state = state.replace(params=p, batch_stats=s,
+                              teacher_params=jax.tree_util.tree_map(np.copy, p),
+                              teacher_batch_stats=jax.tree_util.tree_map(np.copy, s))
+
+    scfg = make_step_config(cfg)
+    _, _, translator_apply = make_translator_modules(cfg)
+    if cfg.stage == "dg":
+        raw_step = build_dg_step(model, opt, scfg)
+    elif cfg.stage == "warmup":
+        raw_step = build_warmup_step(model, translator_apply, opt, scfg)
+    elif cfg.stage == "selftrain":
+        raw_step = build_selftrain_step(model, translator_apply, opt, scfg)
+    else:
+        raise ValueError(f"stage {cfg.stage} has no seg step (use cli/train_domain_translator)")
+
+    if mesh is not None:
+        step = jax.jit(raw_step, in_shardings=(replicated(mesh), None),
+                       out_shardings=(replicated(mesh), None), donate_argnums=(0,))
+        state = jax.device_put(state, replicated(mesh))
+    else:
+        step = jax.jit(raw_step, donate_argnums=(0,))
+
+    def eval_apply(state: SegTrainState, img):
+        _, _, logits, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            img, train=False,
+        )
+        return logits
+
+    return state, step, eval_apply, model
+
+
+def _load_centroids_torch(path: str):
+    import torch
+
+    obj = torch.load(path, map_location="cpu")
+    return obj.numpy() if hasattr(obj, "numpy") else np.asarray(obj)
+
+
+def export_state_role_keyed(state: SegTrainState, out_dir: str, layers=(3, 4, 23, 3)):
+    """Write student/teacher .pth in the reference layout (+ raw npz)."""
+    from ..utils.checkpoint import export_role_keyed
+
+    p = jax.tree_util.tree_map(np.asarray, state.params)
+    s = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    tp = jax.tree_util.tree_map(np.asarray, state.teacher_params)
+    ts = jax.tree_util.tree_map(np.asarray, state.teacher_batch_stats)
+    roles = {
+        "student": convert.segmodel_to_torch(p, s, layers),
+        "teacher": convert.segmodel_to_torch(tp, ts, layers),
+    }
+    export_role_keyed(out_dir, roles)

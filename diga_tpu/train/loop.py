@@ -1,0 +1,225 @@
+"""Generic training harness: loaders -> jitted step -> eval -> checkpoint.
+
+Drives any of the stage steps (train/steps.py) with:
+  * dual-scale multi-stream batching (the reference's small+full loader
+    pairs, train_DiGA_gta2city_warm_up.py:117-136) assembled host-side
+  * device prefetch (double buffering) over an optional data mesh
+  * in-training two-scale eval every ``eval_every`` steps with
+    best-mIoU checkpointing (reference :343-373)
+  * full-state orbax checkpoints + reference-format .pth export
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import DataConfig, ExperimentConfig, LoaderSpec
+from ..data import (
+    BatchLoader,
+    Compose,
+    RandomCrop,
+    RandomHorizontallyFlip,
+    RandomSizedAndCrop,
+    bdd_dataset,
+    cityscapes_dataset,
+    gta5_dataset,
+    mapillary_dataset,
+    synthia_dataset,
+)
+from ..eval.evaluator import TwoScaleEvaluator
+from ..utils.logging import MetricLogger
+
+
+def build_dataset(spec: LoaderSpec, data_cfg: DataConfig, crop_hw, is_source: bool,
+                  val: bool = False):
+    """Instantiate a SegDataset for one stream, with the stage-appropriate
+    geometric augmentation (source gets random-resize, target plain crop —
+    reference warm_up.py:97-103)."""
+    if val:
+        transform = None
+    elif is_source:
+        transform = Compose([RandomHorizontallyFlip(), RandomSizedAndCrop(list(crop_hw))])
+    else:
+        transform = Compose([RandomHorizontallyFlip(), RandomCrop(list(crop_hw))])
+
+    kw = dict(resize_hw=spec.resize_hw, transform=transform)
+    if spec.kind == "gta5":
+        return gta5_dataset(data_cfg.source_root, data_cfg.source_list, **kw)
+    if spec.kind == "synthia":
+        return synthia_dataset(data_cfg.source_root, data_cfg.source_list, **kw)
+    if spec.kind == "cityscapes":
+        root = data_cfg.source_root if is_source else data_cfg.target_root
+        img_list = data_cfg.source_list if is_source else data_cfg.target_img_list
+        lbl_list = data_cfg.target_lbl_list
+        if is_source:
+            # semiseg labeled split reuses the cityscapes layout
+            lbl_list = getattr(data_cfg, "source_lbl_list", data_cfg.target_lbl_list)
+        ds = cityscapes_dataset(
+            root, img_list, lbl_list, split=spec.split,
+            pseudo_dir=data_cfg.pseudo_dir if spec.use_pseudo else None,
+            **kw,
+        )
+        return ds
+    if spec.kind == "bdd":
+        return bdd_dataset(data_cfg.target_root, data_cfg.target_img_list,
+                           data_cfg.target_lbl_list, **kw)
+    if spec.kind == "mapillary":
+        return mapillary_dataset(data_cfg.target_root, data_cfg.target_img_list,
+                                 data_cfg.target_lbl_list, **kw)
+    raise ValueError(f"unknown dataset kind {spec.kind}")
+
+
+class MultiStreamLoader:
+    """Concatenates the dual-scale streams of one domain into one batch.
+
+    The reference samples a small-resize loader and a full-resize loader
+    and concatenates along batch (warm_up.py:208-230); both were already
+    cropped to the same size, so the concat is shape-safe.
+    """
+
+    def __init__(self, datasets_and_batches, seed: int, num_workers: int):
+        self.loaders = [
+            BatchLoader(ds, batch_size=b, seed=seed + 17 * i, num_workers=num_workers)
+            for i, (ds, b) in enumerate(datasets_and_batches)
+        ]
+
+    def __iter__(self) -> Iterator[dict]:
+        iters = [iter(l) for l in self.loaders]
+        while True:
+            parts = [next(it) for it in iters]
+            out = {}
+            for key in parts[0]:
+                if key == "name":
+                    out[key] = sum((p[key] for p in parts), [])
+                else:
+                    out[key] = np.concatenate([p[key] for p in parts], axis=0)
+            yield out
+
+    def stop(self):
+        for l in self.loaders:
+            l.stop()
+
+
+def make_train_iterator(cfg: ExperimentConfig, with_target: bool):
+    """Yields step batches: {'s_img','s_lbl'[,'t_img','t_lbl','t_pseudo']}."""
+    crop = cfg.train.crop_hw
+    src = MultiStreamLoader(
+        [(build_dataset(s, cfg.data, crop, True), s.batch) for s in cfg.data.source_streams],
+        seed=cfg.train.seed, num_workers=cfg.data.num_workers,
+    )
+    tgt = None
+    if with_target:
+        tgt = MultiStreamLoader(
+            [(build_dataset(s, cfg.data, crop, False), s.batch) for s in cfg.data.target_streams],
+            seed=cfg.train.seed + 1000, num_workers=cfg.data.num_workers,
+        )
+
+    def gen():
+        s_it = iter(src)
+        t_it = iter(tgt) if tgt else None
+        while True:
+            s = next(s_it)
+            batch = {"s_img": s["image"], "s_lbl": s["label"]}
+            if t_it is not None:
+                t = next(t_it)
+                batch["t_img"] = t["image"]
+                batch["t_lbl"] = t["label"]
+                if "pseudo" in t:
+                    batch["t_pseudo"] = t["pseudo"]
+            yield batch
+
+    return gen(), src, tgt
+
+
+def make_val_iterator(cfg: ExperimentConfig, limit: int | None = None):
+    ds = cityscapes_dataset(
+        cfg.data.target_root, cfg.data.val_img_list, cfg.data.val_lbl_list,
+        split="val", resize_hw=cfg.eval.out_hw,
+    )
+    n = len(ds) if limit is None else min(limit, len(ds))
+
+    def gen():
+        for i in range(n):
+            s = ds[i]
+            yield {"image": s["image"][None], "label": s["label"][None].astype(np.int32)}
+
+    return gen
+
+
+@dataclasses.dataclass
+class TrainLoopResult:
+    best_miou: float
+    best_step: int
+    last_metrics: dict
+
+
+def run_training(
+    cfg: ExperimentConfig,
+    state,
+    step_fn: Callable,
+    eval_apply_fn: Callable | None,
+    work_dir: str,
+    num_steps: int | None = None,
+    eval_limit: int | None = None,
+    on_best: Callable | None = None,
+    mesh=None,
+    log_every: int = 50,
+) -> tuple[TrainLoopResult, object]:
+    """The outer loop: sample, step, log, eval, checkpoint-best."""
+    from ..data.pipeline import device_prefetch
+    from ..parallel import batch_sharding
+
+    os.makedirs(work_dir, exist_ok=True)
+    logger = MetricLogger(work_dir)
+    steps = num_steps if num_steps is not None else cfg.train.num_steps
+    # target streams are consumed by the self-training stage only; warm-up
+    # and DG use them solely for the reference's visualization forwards,
+    # which we gate out of the hot loop entirely
+    with_target = cfg.stage == "selftrain"
+
+    it, src, tgt = make_train_iterator(cfg, with_target)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    it = device_prefetch(it, sharding=sharding, buffer_size=2)
+
+    best_miou, best_step = 0.0, 0
+    metrics = {}
+    t_last = time.time()
+    for i in range(steps):
+        batch = next(it)
+        batch.pop("t_lbl", None)
+        state, metrics = step_fn(state, batch)
+        if i % log_every == 0:
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_last
+            t_last = time.time()
+            host_metrics["steps_per_sec"] = (log_every if i else 1) / max(dt, 1e-9)
+            logger.log(i, host_metrics)
+            logger.print(i, host_metrics, every=log_every)
+
+        if eval_apply_fn is not None and cfg.train.eval_every > 0 and i > 0 and i % cfg.train.eval_every == 0:
+            ev = TwoScaleEvaluator(
+                lambda img: eval_apply_fn(state, img),
+                num_classes=cfg.eval.num_classes,
+                out_hw=cfg.eval.out_hw, ds_hw=cfg.eval.ds_hw,
+            )
+            scores, _ = ev.run(make_val_iterator(cfg, eval_limit)())
+            miou = float(scores["mean_iou"])
+            logger.log(i, {"miou": miou}, prefix="val/")
+            print(f"step {i}: val mIoU {miou:.4f}", flush=True)
+            if miou > best_miou:
+                best_miou, best_step = miou, i
+                if on_best is not None:
+                    on_best(state, i, miou)
+
+    src.stop()
+    if tgt:
+        tgt.stop()
+    logger.close()
+    return TrainLoopResult(best_miou, best_step, {k: float(v) for k, v in metrics.items()}), state
