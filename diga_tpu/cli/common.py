@@ -1,0 +1,67 @@
+"""Shared CLI plumbing: argparse base, preset override, mesh setup."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ..configs.presets import ExperimentConfig, get_preset
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--preset", type=str, required=True,
+                   help="experiment preset name (see diga_tpu.configs.PRESETS)")
+    p.add_argument("--work_dir", type=str, default="./work_dir")
+    p.add_argument("--source_root", type=str, default=None)
+    p.add_argument("--target_root", type=str, default=None)
+    p.add_argument("--source_list", type=str, default=None)
+    p.add_argument("--target_img_list", type=str, default=None)
+    p.add_argument("--target_lbl_list", type=str, default=None)
+    p.add_argument("--val_img_list", type=str, default=None)
+    p.add_argument("--val_lbl_list", type=str, default=None)
+    p.add_argument("--pseudo_dir", type=str, default=None)
+    p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--eval_limit", type=int, default=None,
+                   help="evaluate only the first N val images (CI configs)")
+    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
+    data_kw = {}
+    for field in ("source_root", "target_root", "source_list", "target_img_list",
+                  "target_lbl_list", "val_img_list", "val_lbl_list", "pseudo_dir"):
+        v = getattr(args, field, None)
+        if v is not None:
+            data_kw[field] = v
+    train_kw = {}
+    if args.num_steps is not None:
+        train_kw["num_steps"] = args.num_steps
+    if getattr(args, "compute_dtype", None):
+        train_kw["compute_dtype"] = args.compute_dtype
+    if getattr(args, "seed", None) is not None:
+        train_kw["seed"] = args.seed
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, **data_kw),
+        train=dataclasses.replace(cfg.train, **train_kw),
+    )
+
+
+def get_config(args) -> ExperimentConfig:
+    return apply_overrides(get_preset(args.preset), args)
+
+
+def make_mesh_from_args(args):
+    from ..parallel import make_mesh
+
+    import jax
+
+    n = args.n_devices
+    if n is None:
+        n = len(jax.devices())
+    return make_mesh(n)

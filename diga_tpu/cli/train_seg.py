@@ -1,0 +1,67 @@
+"""Unified segmentation trainer CLI for the DG / warm-up / self-training
+stages.  Thin aliases live in train_warm_up.py, train_dg.py and
+train_self_training.py, mirroring the reference script names.
+
+Usage:
+  python -m diga_tpu.cli.train_seg --preset gta2city_warmup \
+      --source_root ./data/GTA5 --target_root ./data/Cityscapes \
+      --work_dir ./work_dir/warmup [--load_weight_dir ./work_dir/translator]
+"""
+
+from __future__ import annotations
+
+import os
+
+from .common import base_parser, get_config, make_mesh_from_args
+from ..train.build import build_experiment, export_state_role_keyed
+from ..train.loop import run_training
+from ..utils.checkpoint import save_train_state
+
+
+def main(argv=None, force_stage: str | None = None):
+    p = base_parser("DiGA-TPU segmentation training")
+    p.add_argument("--load_weight_dir", type=str, default=None,
+                   help="previous-stage role-keyed weights (translator and/or student)")
+    p.add_argument("--centroid_path", type=str, default=None,
+                   help="initial class centroids (self-training stage)")
+    p.add_argument("--pretrained_backbone", type=str, default=None,
+                   help="ImageNet/Caffe ResNet-101 .pth for backbone init "
+                        "(reference seg_model_noaux.py:7)")
+    args = p.parse_args(argv)
+    cfg = get_config(args)
+    if force_stage is not None:
+        assert cfg.stage == force_stage, (
+            f"preset {cfg.name} is stage {cfg.stage!r}, expected {force_stage!r}"
+        )
+
+    mesh = make_mesh_from_args(args)
+    state, step, eval_apply, model = build_experiment(
+        cfg,
+        load_weight_dir=args.load_weight_dir,
+        centroid_path=args.centroid_path,
+        mesh=mesh,
+        pretrained_backbone=args.pretrained_backbone,
+    )
+
+    weight_dir = os.path.join(args.work_dir, "weights")
+
+    def on_best(state, step_i, miou):
+        export_state_role_keyed(state, weight_dir)
+        save_train_state(os.path.join(args.work_dir, "ckpt_best"), state)
+        print(f"saved best checkpoint at step {step_i} (mIoU {miou:.4f})")
+
+    result, state = run_training(
+        cfg, state, step, eval_apply,
+        work_dir=args.work_dir,
+        num_steps=args.num_steps,
+        eval_limit=args.eval_limit,
+        on_best=on_best,
+        mesh=mesh,
+    )
+    save_train_state(os.path.join(args.work_dir, "ckpt_final"), state)
+    print(f"done: best mIoU {result.best_miou:.4f} @ step {result.best_step}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,9 @@ def make_model(cfg: ExperimentConfig):
         from ..models.hrnet_ocr import HRNetOCR
 
         return HRNetOCR(num_classes=cfg.train.num_classes, dtype=dtype)
+    layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))  # tiny-depth for tests
     return DeepLabV2(num_classes=cfg.train.num_classes, dtype=dtype,
-                     remat=cfg.train.remat)
+                     layers=layers, remat=cfg.train.remat)
 
 
 def make_schedule(cfg: ExperimentConfig):
