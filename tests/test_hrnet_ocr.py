@@ -1,0 +1,70 @@
+"""HRNet+OCR model tests (tiny arch for CPU speed)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diga_tpu.models.hrnet_ocr import HRNet, HRNetOCR, OCRHead
+
+TINY = {
+    "stem_channels": 8,
+    "stage1_blocks": 1,
+    "stage1_channels": 8,
+    "stages": [
+        (1, 1, (8, 16)),
+        (1, 1, (8, 16, 32)),
+        (1, 1, (8, 16, 32, 64)),
+    ],
+    "ocr_mid_channels": 32,
+    "ocr_key_channels": 16,
+}
+
+
+class TestHRNet:
+    def test_backbone_concat_channels(self):
+        model = HRNet(arch=TINY)
+        k = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, 64, 96, 3))
+        variables = model.init(k, x, train=False)
+        out = model.apply(variables, x, train=False)
+        # 1/4 resolution, concat of all branch channels
+        assert out.shape == (1, 16, 24, 8 + 16 + 32 + 64)
+
+    def test_train_updates_bn(self):
+        model = HRNet(arch=TINY)
+        k = jax.random.PRNGKey(0)
+        x = jnp.ones((2, 32, 32, 3))
+        variables = model.init(k, x, train=False)
+        _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"])
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(before, after))
+
+
+class TestOCR:
+    def test_head_outputs(self):
+        head = OCRHead(num_classes=5, mid_channels=32, key_channels=16)
+        k = jax.random.PRNGKey(0)
+        feats = jnp.ones((2, 8, 12, 24))
+        variables = head.init({"params": k, "dropout": k}, feats, train=False)
+        aux, logits, aug = head.apply(variables, feats, train=False)
+        assert aux.shape == (2, 8, 12, 5)
+        assert logits.shape == (2, 8, 12, 5)
+        assert aug.shape == (2, 8, 12, 32)
+
+    def test_full_model(self):
+        model = HRNetOCR(num_classes=19, arch_name="tiny")
+        # patch in the tiny arch through module attribute resolution
+        import diga_tpu.models.hrnet_ocr as H
+
+        H.W32 = TINY  # arch_name != 'w48' falls back to W32 slot
+        k = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init({"params": k, "dropout": k}, x, train=False)
+        feats, aux, logits, aug = model.apply(variables, x, train=False)
+        assert logits.shape == (1, 16, 16, 19)
+        assert aux.shape == (1, 16, 16, 19)
+        assert feats.shape[-1] == 8 + 16 + 32 + 64
