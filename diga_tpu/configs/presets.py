@@ -234,32 +234,52 @@ _register(ExperimentConfig(
 ))
 
 # --- Semi-supervised Cityscapes ----------------------------------------------
+# labeled split = "source", unlabeled = "target" (SURVEY.md §2.3);
+# no translator; warm-up is the DG-style photometric-views step + aux loss
+_SEMISEG_EXTRA = {"model": "hrnet_ocr", "rgb_input": True, "aux_weight": 0.1,
+                  "feat_dim": 512, "no_translator": True}
+
 for split in ("1_2", "1_4", "1_8", "1_16"):
+    _semiseg_data = DataConfig(
+        source_root="./data/Cityscapes",
+        source_list=f"lists/cityscapes_split_{split}_labeled.txt",
+        target_img_list=f"lists/cityscapes_split_{split}_unlabeled.txt",
+        source_streams=(
+            LoaderSpec("cityscapes", (512, 1024), 1),
+            LoaderSpec("cityscapes", (1024, 2048), 2),
+        ),
+        target_streams=(
+            LoaderSpec("cityscapes", (512, 1024), 1),
+            LoaderSpec("cityscapes", (1024, 2048), 2),
+        ),
+    )
+    # semiseg warm_up.py:86-96,160: crop 512x1024, lr 1e-3, poly 1.0,
+    # no 10x head group; HRNet+OCR model; RGB input order
+    _semiseg_train = TrainConfig(
+        crop_hw=(512, 1024), learning_rate=1e-3, power=1.0, head_lr_mult=1.0,
+    )
     _register(ExperimentConfig(
         name=f"semiseg_{split}_warmup",
         stage="warmup",
-        data=DataConfig(
-            source_root="./data/Cityscapes",
-            source_list=f"lists/cityscapes_split_{split}_labeled.txt",
-            target_img_list=f"lists/cityscapes_split_{split}_unlabeled.txt",
-            source_streams=(
-                LoaderSpec("cityscapes", (512, 1024), 1),
-                LoaderSpec("cityscapes", (1024, 2048), 2),
-            ),
-            target_streams=(
-                LoaderSpec("cityscapes", (512, 1024), 1),
-                LoaderSpec("cityscapes", (1024, 2048), 2),
-            ),
-        ),
-        # semiseg warm_up.py:86-96,160: crop 512x1024, lr 1e-3, poly 1.0,
-        # no 10x head group; HRNet+OCR model; RGB input order
-        train=TrainConfig(
-            crop_hw=(512, 1024), learning_rate=1e-3, power=1.0,
-            head_lr_mult=1.0,
-        ),
+        data=_semiseg_data,
+        train=_semiseg_train,
         eval=EvalConfig(),
-        extra={"model": "hrnet_ocr", "rgb_input": True, "aux_weight": 0.1,
-               "feat_dim": 512},
+        extra=dict(_SEMISEG_EXTRA),
+    ))
+    _register(ExperimentConfig(
+        name=f"semiseg_{split}_selftrain",
+        stage="selftrain",
+        data=dataclasses.replace(
+            _semiseg_data,
+            pseudo_dir="pseudo_train_warm_up",
+            target_streams=(
+                LoaderSpec("cityscapes", (512, 1024), 1, use_pseudo=True),
+                LoaderSpec("cityscapes", (1024, 2048), 2, use_pseudo=True),
+            ),
+        ),
+        train=dataclasses.replace(_semiseg_train, beta=0.3, lambda_distil=0.25),
+        eval=EvalConfig(),
+        extra=dict(_SEMISEG_EXTRA),
     ))
 
 

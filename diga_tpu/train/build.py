@@ -54,6 +54,9 @@ def make_step_config(cfg: ExperimentConfig) -> StepConfig:
         lambda_seg=t.lambda_seg,
         lambda_distil=t.lambda_distil,
         seg_loss=t.seg_loss,
+        aux_weight=cfg.extra.get("aux_weight", 0.0),
+        rgb_input=cfg.extra.get("rgb_input", False),
+        use_crdomix=not cfg.extra.get("no_translator", False),
     )
 
 
@@ -110,8 +113,12 @@ def build_experiment(
         head_mult=cfg.train.head_lr_mult,
     )
 
+    # semiseg has no image translator: its warm-up is the DG-style step
+    # with aux loss (train_DiGA_semiseg_warm_up.py has no enc/dec modules)
+    uses_translator = cfg.stage in ("warmup", "selftrain") and not cfg.extra.get(
+        "no_translator", False)
     frozen = None
-    if cfg.stage in ("warmup", "selftrain"):
+    if uses_translator:
         frozen = init_translator_frozen(cfg, load_weight_dir, rng)
 
     centroids = None
@@ -150,7 +157,9 @@ def build_experiment(
 
     scfg = make_step_config(cfg)
     _, _, translator_apply = make_translator_modules(cfg)
-    if cfg.stage == "dg":
+    if not uses_translator:
+        translator_apply = lambda frozen, img: img  # identity (semiseg CutMix path)
+    if cfg.stage == "dg" or (cfg.stage == "warmup" and not uses_translator):
         raw_step = build_dg_step(model, opt, scfg)
     elif cfg.stage == "warmup":
         raw_step = build_warmup_step(model, translator_apply, opt, scfg)

@@ -44,6 +44,13 @@ class StepConfig:
     distil_scale: float = 0.5
     ohem_thresh: float = 0.7
     ohem_min_kept: int = 100_000
+    # semiseg (HRNet+OCR) extras: 0.1x aux loss on the OCR soft regions and
+    # BGR->RGB flip at the model input (train_DiGA_semiseg_warm_up.py:238,259-263)
+    aux_weight: float = 0.0
+    rgb_input: bool = False
+    # second view: CrDoMix composite (UDA) vs plain photometric view
+    # (semiseg self-training, train_DiGA_semiseg_self_training.py:260)
+    use_crdomix: bool = True
 
 
 def _seg_loss_fn(cfg: StepConfig) -> Callable:
@@ -54,12 +61,20 @@ def _seg_loss_fn(cfg: StepConfig) -> Callable:
     return L.cross_entropy2d
 
 
-def _student_apply(model, params, batch_stats, x, rng, train=True):
-    (sh, dp, logits, feat), mut = model.apply(
+def _student_apply(model, params, batch_stats, x, rng, train=True, rgb_input=False):
+    """Returns (aux, logits, feat, new_batch_stats).
+
+    Both model families expose the same 4-slot output convention: slot 1
+    is the aux/deep tensor (OCR soft regions for HRNet), slot 2 the
+    logits, slot 3 the head features.
+    """
+    if rgb_input:
+        x = x[..., ::-1]
+    (_, aux, logits, feat), mut = model.apply(
         {"params": params, "batch_stats": batch_stats},
         x, train=train, rngs={"dropout": rng}, mutable=["batch_stats"],
     )
-    return logits, feat, mut["batch_stats"]
+    return aux, logits, feat, mut["batch_stats"]
 
 
 def build_dg_step(model, optimizer, cfg: StepConfig):
@@ -82,19 +97,27 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
 
         # teacher forward (train-mode BN + dropout, like the reference's
         # never-eval'd teacher); its BN stats evolve independently
-        t_logits, _, teacher_bs = _student_apply(
-            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop
+        t_aux, t_logits, _, teacher_bs = _student_apply(
+            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop,
+            rgb_input=cfg.rgb_input,
         )
-        t_logits_up = resize_bilinear(t_logits, cfg.crop_hw)
-        t_logits_up = jax.lax.stop_gradient(t_logits_up)
+        t_logits_up = jax.lax.stop_gradient(resize_bilinear(t_logits, cfg.crop_hw))
+        t_aux_up = (jax.lax.stop_gradient(resize_bilinear(t_aux, cfg.crop_hw))
+                    if cfg.aux_weight > 0 else None)
 
         def loss_fn(params):
-            logits, _, new_bs = _student_apply(
-                model, params, state.batch_stats, s_cat, k_sdrop
+            aux, logits, _, new_bs = _student_apply(
+                model, params, state.batch_stats, s_cat, k_sdrop,
+                rgb_input=cfg.rgb_input,
             )
             logits_up = resize_bilinear(logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)
             distil = L.distillation_loss(t_logits_up, logits_up, cfg.distil_scale)
+            if cfg.aux_weight > 0:
+                aux_up = resize_bilinear(aux, cfg.crop_hw)
+                ce = ce + cfg.aux_weight * seg_loss(aux_up[:b], s_lbl)
+                distil = distil + cfg.aux_weight * L.distillation_loss(
+                    t_aux_up, aux_up, cfg.distil_scale)
             total = cfg.lambda_seg * ce + cfg.lambda_distil * distil
             return total, (ce, distil, new_bs)
 
@@ -142,18 +165,27 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
         s_crdomix = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix, cfg.num_classes)
         s_cat = jnp.concatenate([s_img, s_crdomix], axis=0)
 
-        t_logits, _, teacher_bs = _student_apply(
-            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop
+        t_aux, t_logits, _, teacher_bs = _student_apply(
+            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop,
+            rgb_input=cfg.rgb_input,
         )
         t_logits_up = jax.lax.stop_gradient(resize_bilinear(t_logits, cfg.crop_hw))
+        t_aux_up = (jax.lax.stop_gradient(resize_bilinear(t_aux, cfg.crop_hw))
+                    if cfg.aux_weight > 0 else None)
 
         def loss_fn(params):
-            logits, _, new_bs = _student_apply(
-                model, params, state.batch_stats, s_cat, k_sdrop
+            aux, logits, _, new_bs = _student_apply(
+                model, params, state.batch_stats, s_cat, k_sdrop,
+                rgb_input=cfg.rgb_input,
             )
             logits_up = resize_bilinear(logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)
             distil = L.distillation_loss(t_logits_up, logits_up, cfg.distil_scale)
+            if cfg.aux_weight > 0:
+                aux_up = resize_bilinear(aux, cfg.crop_hw)
+                ce = ce + cfg.aux_weight * seg_loss(aux_up[:b], s_lbl)
+                distil = distil + cfg.aux_weight * L.distillation_loss(
+                    t_aux_up, aux_up, cfg.distil_scale)
             total = cfg.lambda_seg * ce + cfg.lambda_distil * distil
             return total, (ce, distil, new_bs)
 
@@ -201,16 +233,21 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
 
         s_aug = diga_photometric(s_img, k_aug_s, cfg.beta)
         t_aug = diga_photometric(t_img, k_aug_t, cfg.beta)
-        rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
-        s_crdomix = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix1, cfg.num_classes)
-        s_cat = jnp.concatenate([s_img, s_crdomix], axis=0)
+        if cfg.use_crdomix:
+            rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
+            s_view2 = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix1, cfg.num_classes)
+        else:
+            s_view2 = s_aug
+        s_cat = jnp.concatenate([s_img, s_view2], axis=0)
 
         # ---- teacher forwards (no grad) ----
-        st_logits, st_feat, teacher_bs = _student_apply(
-            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop
+        _, st_logits, st_feat, teacher_bs = _student_apply(
+            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop,
+            rgb_input=cfg.rgb_input,
         )
-        tt_logits, tt_feat, teacher_bs = _student_apply(
-            model, teacher_params, teacher_bs, t_img, k_tdrop2
+        _, tt_logits, tt_feat, teacher_bs = _student_apply(
+            model, teacher_params, teacher_bs, t_img, k_tdrop2,
+            rgb_input=cfg.rgb_input,
         )
         st_logits = jax.lax.stop_gradient(st_logits)
         st_feat = jax.lax.stop_gradient(st_feat)
@@ -240,10 +277,12 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
         cents = prototypes.update_centroids(cents, vec_s, ok_s, start_mean=False)
 
         def loss_fn(params):
-            logits, _, bs1 = _student_apply(
-                model, params, state.batch_stats, s_cat, k_sdrop
+            _, logits, _, bs1 = _student_apply(
+                model, params, state.batch_stats, s_cat, k_sdrop,
+                rgb_input=cfg.rgb_input,
             )
-            cross_logits, _, bs2 = _student_apply(model, params, bs1, cross_img, k_cdrop)
+            _, cross_logits, _, bs2 = _student_apply(
+                model, params, bs1, cross_img, k_cdrop, rgb_input=cfg.rgb_input)
             logits_up = resize_bilinear(logits, cfg.crop_hw)
             cross_up = resize_bilinear(cross_logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)
