@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: full-model XLA compiles take minutes over the
+# TPU tunnel; cache them across bench invocations
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 REF_RTX8000_IMGS_PER_SEC = 2.5   # estimated reference throughput (see above)
 TARGET_MULT = 3.0                 # BASELINE.json: >=3x reference
 

@@ -132,21 +132,33 @@ class SegDataset:
         if self.resize_hw is not None:
             image, masks = resize_pair(image, masks, self.resize_hw)
 
+        from ..utils import native
+
+        def remap(arr):
+            arr = np.asarray(arr)
+            if arr.dtype == np.uint8 and len(self.lut) == 256:
+                return native.remap_u8(arr, self.lut)  # C fast path
+            return label_maps.remap_labels(arr, self.lut)
+
         if self.transform is not None:
             tries = self.rare_max_tries if self.rare_class_resample else 1
             for _ in range(tries):
                 out = self.transform(image, *masks, rng=rng)
-                img_np, lbl_np = out[0], label_maps.remap_labels(out[1], self.lut)
+                img_np, lbl_np = out[0], remap(out[1])
                 if not self.rare_class_resample or self._accept_rare(lbl_np):
                     break
             rest = out[2:]
         else:
             img_np = np.array(image)
-            lbl_np = label_maps.remap_labels(np.array(masks[0]), self.lut)
+            lbl_np = remap(np.array(masks[0]))
             rest = tuple(np.array(m) for m in masks[1:])
 
+        if img_np.dtype == np.uint8 and img_np.ndim == 3:
+            image_out = native.normalize_bgr(img_np, self.mean_bgr)  # fused C path
+        else:
+            image_out = normalize_image(img_np, self.mean_bgr)
         sample = {
-            "image": normalize_image(img_np, self.mean_bgr),
+            "image": image_out,
             "label": lbl_np.astype(np.uint8),
             "name": self.img_list[index],
         }
