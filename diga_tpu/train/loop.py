@@ -171,8 +171,15 @@ def run_training(
     on_best: Callable | None = None,
     mesh=None,
     log_every: int = 50,
+    profile_steps: tuple[int, int] | None = None,
+    viz_every: int = 0,
 ) -> tuple[TrainLoopResult, object]:
-    """The outer loop: sample, step, log, eval, checkpoint-best."""
+    """The outer loop: sample, step, log, eval, checkpoint-best.
+
+    ``profile_steps=(start, stop)`` captures a jax.profiler trace of those
+    steps to <work_dir>/profile (the reference has no tracing at all,
+    SURVEY.md §5.1).  ``viz_every`` dumps train-view image grids.
+    """
     from ..data.pipeline import device_prefetch
     from ..parallel import batch_sharding
 
@@ -192,9 +199,26 @@ def run_training(
     metrics = {}
     t_last = time.time()
     for i in range(steps):
+        if profile_steps and i == profile_steps[0]:
+            import jax
+
+            jax.profiler.start_trace(os.path.join(work_dir, "profile"))
         batch = next(it)
         batch.pop("t_lbl", None)
         state, metrics = step_fn(state, batch)
+        if profile_steps and i == profile_steps[1]:
+            import jax
+
+            jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+        if viz_every and i % viz_every == 0:
+            from ..utils.visualize import dump_train_views
+
+            dump_train_views(
+                os.path.join(work_dir, "views"), i,
+                {"source": np.asarray(batch["s_img"][:2])},
+                {"label": np.asarray(batch["s_lbl"][:2])},
+            )
         if i % log_every == 0:
             host_metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t_last
