@@ -6,11 +6,14 @@ doubled into clean+CrDoMix views, frozen translator apply, grouped SGD)
 on the available accelerator.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md).  The
-recorded comparison constant below is an engineering estimate of the
-reference PyTorch script on its stated RTX 8000 dev GPU:
-~17.5 TFLOPs/step at ~40% fp32 utilization plus its per-step host syncs
-=> ~2.5 source imgs/sec.  BASELINE.json's north star is >=3x that on a
-v4-8; vs_baseline here is measured_imgs_per_sec / (3 * 2.5).
+comparison constant below is an engineering estimate of the reference
+PyTorch script on its stated RTX 8000 dev GPU: ~17.5 TFLOPs/step at ~40%
+fp32 utilization plus its per-step host syncs => ~2.5 source imgs/sec.
+
+BASELINE.json's north star: the full pipeline on a TPU v4-8 (4 chips,
+data-parallel) at >=3x RTX-8000 throughput, i.e. 3*2.5 = 7.5 imgs/sec
+aggregate = 1.875 imgs/sec PER CHIP.  This bench runs on the single
+available chip, so:  vs_baseline = measured_per_chip / 1.875.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,10 +34,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 REF_RTX8000_IMGS_PER_SEC = 2.5   # estimated reference throughput (see above)
 TARGET_MULT = 3.0                 # BASELINE.json: >=3x reference
+TARGET_CHIPS = 4                  # v4-8 = 4 chips
+PER_CHIP_TARGET = TARGET_MULT * REF_RTX8000_IMGS_PER_SEC / TARGET_CHIPS
 
 CROP = (512, 896)
 BATCH = 3                         # reference effective batch (warm_up.py:80-82)
 NCLS = 19
+# batch 3 fits HBM without remat (measured); remat only needed for larger
+# per-chip batches
+REMAT = False
 
 
 def build():
@@ -46,7 +54,7 @@ def build():
     from diga_tpu.train.steps import StepConfig, build_warmup_step
 
     rng = jax.random.PRNGKey(0)
-    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, remat=True)
+    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, remat=REMAT)
 
     x = jnp.zeros((1, *CROP, 3), jnp.float32)
     variables = jax.jit(
@@ -93,9 +101,9 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * n_steps / dt
-    vs_baseline = imgs_per_sec / (TARGET_MULT * REF_RTX8000_IMGS_PER_SEC)
+    vs_baseline = imgs_per_sec / PER_CHIP_TARGET
     print(json.dumps({
-        "metric": "gta2city_warmup_train_imgs_per_sec",
+        "metric": "gta2city_warmup_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/sec",
         "vs_baseline": round(vs_baseline, 3),

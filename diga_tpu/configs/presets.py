@@ -27,6 +27,8 @@ class DataConfig:
     source_root: str = "./data/GTA5"
     target_root: str = "./data/Cityscapes"
     source_list: str = "lists/gta5_train.txt"
+    # only used when the source is cityscapes-format (semiseg labeled split)
+    source_lbl_list: str | None = None
     target_img_list: str = "lists/cityscapes_train.txt"
     target_lbl_list: str = "lists/cityscapes_train_label.txt"
     val_img_list: str = "lists/cityscapes_val.txt"

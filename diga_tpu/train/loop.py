@@ -57,10 +57,11 @@ def build_dataset(spec: LoaderSpec, data_cfg: DataConfig, crop_hw, is_source: bo
     if spec.kind == "cityscapes":
         root = data_cfg.source_root if is_source else data_cfg.target_root
         img_list = data_cfg.source_list if is_source else data_cfg.target_img_list
-        lbl_list = data_cfg.target_lbl_list
         if is_source:
             # semiseg labeled split reuses the cityscapes layout
-            lbl_list = getattr(data_cfg, "source_lbl_list", data_cfg.target_lbl_list)
+            lbl_list = data_cfg.source_lbl_list or data_cfg.target_lbl_list
+        else:
+            lbl_list = data_cfg.target_lbl_list
         ds = cityscapes_dataset(
             root, img_list, lbl_list, split=spec.split,
             pseudo_dir=data_cfg.pseudo_dir if spec.use_pseudo else None,
