@@ -28,9 +28,14 @@ def confusion_update(
     lt = label_true.reshape(-1).astype(jnp.int32)
     lp = label_pred.reshape(-1).astype(jnp.int32)
     mask = (lt >= 0) & (lt < n_class)
-    idx = jnp.where(mask, n_class * lt + lp, n_class * n_class)
-    hist = jnp.zeros((n_class * n_class + 1,), jnp.int32).at[idx].add(1)
-    return conf + hist[:-1].reshape(n_class, n_class)
+    # one-hot matmul instead of scatter-add: the MXU does this in one pass,
+    # whereas a 2M-element scatter serializes on TPU
+    gt_oh = jax.nn.one_hot(jnp.where(mask, lt, n_class), n_class + 1,
+                           dtype=jnp.float32)[:, :n_class]
+    pr_oh = jax.nn.one_hot(lp, n_class, dtype=jnp.float32)
+    hist = jnp.einsum("pg,pk->gk", gt_oh, pr_oh,
+                      precision=jax.lax.Precision.HIGHEST)
+    return conf + hist.astype(conf.dtype)
 
 
 @jax.jit
