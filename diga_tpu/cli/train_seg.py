@@ -27,6 +27,11 @@ def main(argv=None, force_stage: str | None = None):
     p.add_argument("--pretrained_backbone", type=str, default=None,
                    help="ImageNet/Caffe ResNet-101 .pth for backbone init "
                         "(reference seg_model_noaux.py:7)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the full train state (params, EMA, optimizer, "
+                        "step, centroids, RNG) from <work_dir>/ckpt_final if "
+                        "present — exact resume, unlike the reference's "
+                        "weights-only restart (SURVEY.md §5.3-5.4)")
     args = p.parse_args(argv)
     cfg = get_config(args)
     if force_stage is not None:
@@ -42,6 +47,13 @@ def main(argv=None, force_stage: str | None = None):
         mesh=mesh,
         pretrained_backbone=args.pretrained_backbone,
     )
+
+    resume_path = os.path.join(args.work_dir, "ckpt_final")
+    if args.resume and os.path.exists(resume_path):
+        from ..utils.checkpoint import restore_train_state
+
+        state = restore_train_state(resume_path, state)
+        print(f"resumed from {resume_path} at step {int(state.step)}")
 
     weight_dir = os.path.join(args.work_dir, "weights")
 
