@@ -41,6 +41,31 @@ kaiming_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class FastConv3x3(nn.Module):
+    """3x3 stride-1 'same' conv with the fast custom input-gradient
+    (ops/fastconv.py).  Param layout identical to nn.Conv ('kernel',
+    optional 'bias') so checkpoints/converters are unaffected.
+    """
+
+    features: int
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = conv_init_normal(0.01)
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fastconv import conv_same_s1
+
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (3, 3, in_ch, self.features))
+        y = conv_same_s1(x.astype(self.dtype), kernel.astype(self.dtype), self.dilation)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def max_pool_ceil(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndarray:
     """Max pool with torch ceil_mode=True semantics (NHWC).
 
@@ -109,11 +134,8 @@ class Bottleneck(nn.Module):
                     kernel_init=conv_init_normal(0.01), name="conv1")(x)
         y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
-        pad = self.dilation
-        y = nn.Conv(self.planes, (3, 3), padding=[(pad, pad), (pad, pad)],
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=conv_init_normal(0.01), name="conv2")(y)
+        y = FastConv3x3(self.planes, dilation=self.dilation,
+                        dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
@@ -193,17 +215,15 @@ class ASPPHead(nn.Module):
         y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="branch0_gn")(y)
         branches.append(nn.relu(y))
         for bi, d in enumerate(self.dilations, start=1):
-            y = nn.Conv(256, (3, 3), padding=[(d, d), (d, d)],
-                        kernel_dilation=(d, d), use_bias=True, dtype=self.dtype,
-                        kernel_init=kaiming_fan_in, name=f"branch{bi}_conv")(x)
+            y = FastConv3x3(256, dilation=d, use_bias=True, dtype=self.dtype,
+                            kernel_init=kaiming_fan_in, name=f"branch{bi}_conv")(x)
             y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"branch{bi}_gn")(y)
             branches.append(nn.relu(y))
         out = jnp.concatenate(branches, axis=-1)
         if self.use_se:
             out = SEBlock(dtype=self.dtype, name="se")(out)
-        out = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
-                      dtype=self.dtype, kernel_init=kaiming_fan_in,
-                      name="bottleneck_conv")(out)
+        out = FastConv3x3(256, dilation=1, use_bias=True, dtype=self.dtype,
+                          kernel_init=kaiming_fan_in, name="bottleneck_conv")(out)
         out = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="bottleneck_gn")(out)
         # head: channel dropout then 1x1 classifier; 'feat' is the 256-d
         # post-dropout tensor the prototype machinery consumes (:205-211)
