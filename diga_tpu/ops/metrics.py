@@ -58,15 +58,18 @@ def scores_from_confusion(hist: np.ndarray) -> tuple[dict, dict]:
         freq = hist.sum(axis=1) / hist.sum()
         fwavacc = (freq[freq > 0] * iu[freq > 0]).sum()
     cls_iu = dict(zip(range(len(iu)), iu))
-    return (
-        {
-            "overall_acc": acc,
-            "mean_acc": acc_cls,
-            "fwavacc": fwavacc,
-            "mean_iou": mean_iu,
-        },
-        cls_iu,
-    )
+    scores = {
+        "overall_acc": acc,
+        "mean_acc": acc_cls,
+        "fwavacc": fwavacc,
+        "mean_iou": mean_iu,
+    }
+    if len(iu) == 16:
+        # SYNTHIA protocol also reports mIoU over 13 classes, excluding
+        # wall(3)/fence(4)/pole(5)
+        keep = [i for i in range(16) if i not in (3, 4, 5)]
+        scores["mean_iou_13"] = float(np.nanmean(iu[keep]))
+    return scores, cls_iu
 
 
 @dataclasses.dataclass
