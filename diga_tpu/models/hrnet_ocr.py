@@ -79,14 +79,35 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        p = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=[(p, p), (p, p)], use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if self.kernel == 3 and self.stride == 1:
+            # fast custom input-gradient path (ops/fastconv.py); the child
+            # module keeps nn.Conv's 'conv/kernel' param naming
+            x = _FastConvChild(self.features, dtype=self.dtype, name="conv")(x)
+        else:
+            p = self.kernel // 2
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=[(p, p), (p, p)], use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
+
+
+class _FastConvChild(nn.Module):
+    """3x3 s1 conv with fastconv grad; param named 'kernel' like nn.Conv."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fastconv import conv_same_s1
+
+        kernel = self.param(
+            "kernel", nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (3, 3, x.shape[-1], self.features))
+        return conv_same_s1(x.astype(self.dtype), kernel.astype(self.dtype), 1)
 
 
 class BasicBlock(nn.Module):
