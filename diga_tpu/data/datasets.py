@@ -36,6 +36,18 @@ def read_list(path: str) -> list[str]:
 
 
 def _default_img_reader(path: str) -> Image.Image:
+    """Decode with OpenCV when available (2-3x faster inflate for the big
+    Cityscapes/GTA5 PNGs; bit-identical pixels for lossless formats),
+    fall back to PIL.  Geometric resampling stays PIL for protocol parity.
+    """
+    try:
+        import cv2
+
+        arr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if arr is not None:
+            return Image.fromarray(arr[:, :, ::-1])  # BGR -> RGB
+    except ImportError:
+        pass
     return Image.open(path).convert("RGB")
 
 
