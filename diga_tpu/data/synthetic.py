@@ -46,6 +46,60 @@ def make_gta5_fixture(root: str, n: int = 4, h: int = 64, w: int = 128, seed: in
     return list_path
 
 
+def make_synthia_fixture(root: str, n: int = 3, h: int = 64, w: int = 128, seed: int = 2) -> str:
+    """RGB/<name>.png + GT/LABELS/<name>.png (uint16 label ids).
+
+    The real SYNTHIA GT is a 3-channel uint16 PNG with the class id in
+    channel 0; PIL can't encode that, so the fixture writes uint16
+    grayscale — the reader handles both (SYNTHIALoader.py:98 semantics).
+    """
+    from .label_maps import SYNTHIA_ID_TO_TRAINID
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "RGB"), exist_ok=True)
+    os.makedirs(os.path.join(root, "GT", "LABELS"), exist_ok=True)
+    ids = list(SYNTHIA_ID_TO_TRAINID.keys())
+    names = []
+    for i in range(n):
+        name = f"{i:07d}.png"
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lbl16 = _blocky_label(rng, h, w, ids).astype(np.uint16)
+        Image.fromarray(img).save(os.path.join(root, "RGB", name))
+        Image.fromarray(lbl16, mode="I;16").save(
+            os.path.join(root, "GT", "LABELS", name))
+        names.append(name)
+    list_path = os.path.join(root, "train.txt")
+    with open(list_path, "w") as f:
+        f.write("\n".join(names) + "\n")
+    return list_path
+
+
+def make_flat_fixture(root: str, n: int = 2, h: int = 48, w: int = 64,
+                      trainid_labels: bool = True, max_label: int = 19,
+                      seed: int = 3) -> tuple[str, str]:
+    """Flat images+labels layout used by the BDD/Mapillary loaders."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    img_names, lbl_names = [], []
+    for i in range(n):
+        img_name = f"images/{i:05d}.jpg"
+        lbl_name = f"labels/{i:05d}.png"
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lbl = rng.integers(0, max_label, size=(h, w)).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(root, img_name), quality=95)
+        Image.fromarray(lbl).save(os.path.join(root, lbl_name))
+        img_names.append(img_name)
+        lbl_names.append(lbl_name)
+    img_list = os.path.join(root, "val_img.txt")
+    lbl_list = os.path.join(root, "val_lbl.txt")
+    with open(img_list, "w") as f:
+        f.write("\n".join(img_names) + "\n")
+    with open(lbl_list, "w") as f:
+        f.write("\n".join(lbl_names) + "\n")
+    return img_list, lbl_list
+
+
 def make_cityscapes_fixture(
     root: str, n: int = 4, h: int = 64, w: int = 128, seed: int = 1, split: str = "val"
 ) -> tuple[str, str]:
