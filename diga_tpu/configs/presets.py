@@ -35,6 +35,12 @@ class DataConfig:
     val_lbl_list: str = "lists/cityscapes_val_label.txt"
     pseudo_dir: str | None = None
     num_workers: int = 4
+    # source geometric aug: random-resize+crop (UDA/DG) vs plain crop
+    # (semiseg warm-up uses RandomCrop for both domains, warm_up.py:104-110)
+    source_sized_crop: bool = True
+    # target aug: RandomCrop in warm-up/DG, RandomSized+Crop in every
+    # self-training stage (*_self_training.py:110-115)
+    target_sized_crop: bool = False
     # dual-scale streams: (small, full) per domain — reference
     # warm_up.py:76-82: source [720,1280]+[1052,1914], target
     # [512,1024]+[1024,2048], batch split 1+2
@@ -88,18 +94,18 @@ class ExperimentConfig:
 
 
 def _synthia_data() -> DataConfig:
-    # reference Synthia warm_up: source full [1140,1920], small [720,1280]
-    # (Synthia/train_DiGA_synthia2city_warm_up.py:76-82), batch 2+2
+    # reference Synthia warm_up: source full [1140,1920], small [720,1280],
+    # batch split 1+3 (Synthia/train_DiGA_synthia2city_warm_up.py:76-83)
     return DataConfig(
         source_root="./data/SYNTHIA",
         source_list="lists/synthia_train.txt",
         source_streams=(
-            LoaderSpec("synthia", (720, 1280), 2),
-            LoaderSpec("synthia", (1140, 1920), 2),
+            LoaderSpec("synthia", (720, 1280), 1),
+            LoaderSpec("synthia", (1140, 1920), 3),
         ),
         target_streams=(
-            LoaderSpec("cityscapes", (512, 1024), 2),
-            LoaderSpec("cityscapes", (1024, 2048), 2),
+            LoaderSpec("cityscapes", (512, 1024), 1),
+            LoaderSpec("cityscapes", (1024, 2048), 3),
         ),
     )
 
@@ -135,6 +141,7 @@ _register(ExperimentConfig(
             LoaderSpec("cityscapes", (1024, 2048), 1, use_pseudo=True),
         ),
         pseudo_dir="pseudo_train_warm_up",
+        target_sized_crop=True,
     ),
     # self_training.py:100-103: beta .3, lambda_distil .25
     train=TrainConfig(beta=0.3, lambda_distil=0.25),
@@ -164,10 +171,11 @@ _register(ExperimentConfig(
     name="synthia2city_warmup",
     stage="warmup",
     data=_synthia_data(),
-    # Synthia warm_up.py:82-88: 60k steps, OHEM, warmup LR, lambda .25
+    # Synthia warm_up.py:81-95: 60k steps, OHEM, warmup LR (1000, poly 0.9),
+    # lambda_distil .25, beta .4
     train=TrainConfig(
         num_classes=16, num_steps=60_000, seg_loss="ohem",
-        lambda_distil=0.25, lr_warmup=1000, power=1.0,
+        lambda_distil=0.25, lr_warmup=1000, power=0.9,
     ),
     eval=EvalConfig(num_classes=16),
 ))
@@ -175,13 +183,19 @@ _register(ExperimentConfig(
 _register(ExperimentConfig(
     name="synthia2city_selftrain",
     stage="selftrain",
+    # Synthia self_training.py:90-92: batch split 1+2
     data=dataclasses.replace(
         _synthia_data(),
         pseudo_dir="pseudo_train_warm_up",
+        source_streams=(
+            LoaderSpec("synthia", (720, 1280), 1),
+            LoaderSpec("synthia", (1140, 1920), 2),
+        ),
         target_streams=(
-            LoaderSpec("cityscapes", (512, 1024), 2, use_pseudo=True),
+            LoaderSpec("cityscapes", (512, 1024), 1, use_pseudo=True),
             LoaderSpec("cityscapes", (1024, 2048), 2, use_pseudo=True),
         ),
+        target_sized_crop=True,
     ),
     train=TrainConfig(
         num_classes=16, seg_loss="ohem", beta=0.3, lambda_distil=0.25,
@@ -246,6 +260,7 @@ for split in ("1_2", "1_4", "1_8", "1_16"):
         source_root="./data/Cityscapes",
         source_list=f"lists/cityscapes_split_{split}_labeled.txt",
         target_img_list=f"lists/cityscapes_split_{split}_unlabeled.txt",
+        source_sized_crop=False,
         source_streams=(
             LoaderSpec("cityscapes", (512, 1024), 1),
             LoaderSpec("cityscapes", (1024, 2048), 2),
@@ -278,6 +293,7 @@ for split in ("1_2", "1_4", "1_8", "1_16"):
                 LoaderSpec("cityscapes", (512, 1024), 1, use_pseudo=True),
                 LoaderSpec("cityscapes", (1024, 2048), 2, use_pseudo=True),
             ),
+            target_sized_crop=True,
         ),
         train=dataclasses.replace(_semiseg_train, beta=0.3, lambda_distil=0.25),
         eval=EvalConfig(),

@@ -44,10 +44,10 @@ def build_dataset(spec: LoaderSpec, data_cfg: DataConfig, crop_hw, is_source: bo
     reference warm_up.py:97-103)."""
     if val:
         transform = None
-    elif is_source:
-        transform = Compose([RandomHorizontallyFlip(), RandomSizedAndCrop(list(crop_hw))])
     else:
-        transform = Compose([RandomHorizontallyFlip(), RandomCrop(list(crop_hw))])
+        sized = data_cfg.source_sized_crop if is_source else data_cfg.target_sized_crop
+        crop_cls = RandomSizedAndCrop if sized else RandomCrop
+        transform = Compose([RandomHorizontallyFlip(), crop_cls(list(crop_hw))])
 
     kw = dict(resize_hw=spec.resize_hw, transform=transform)
     if spec.kind == "gta5":
