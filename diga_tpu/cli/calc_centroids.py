@@ -61,10 +61,21 @@ def main(argv=None):
             vec, ok = masked_class_means(feat, logits, label)
             return update_centroids(cents, vec, ok, start_mean=True)
 
-        ds = (synthia_dataset if "synthia" in cfg.name else gta5_dataset)(
-            cfg.data.source_root, cfg.data.source_list,
-            resize_hw=cfg.data.source_streams[0].resize_hw,
-        )
+        kind = cfg.data.source_streams[0].kind
+        resize = cfg.data.source_streams[0].resize_hw
+        if kind == "synthia":
+            ds = synthia_dataset(cfg.data.source_root, cfg.data.source_list,
+                                 resize_hw=resize)
+        elif kind == "cityscapes":
+            # semiseg labeled split is the "source" domain
+            # (semi-supervised_segmentation/calc_centroids.py:19,26-46)
+            ds = cityscapes_dataset(
+                cfg.data.source_root, cfg.data.source_list,
+                cfg.data.source_lbl_list or cfg.data.target_lbl_list,
+                split="train", resize_hw=resize)
+        else:
+            ds = gta5_dataset(cfg.data.source_root, cfg.data.source_list,
+                              resize_hw=resize)
     else:
         @jax.jit
         def accumulate(cents, image, label, key):

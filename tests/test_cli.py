@@ -1,0 +1,109 @@
+"""CLI plumbing tests: preset resolution, overrides, offline tools on
+synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diga_tpu.cli.common import apply_overrides, base_parser
+from diga_tpu.configs.presets import PRESETS, get_preset
+
+
+class TestPresetPlumbing:
+    def test_all_presets_resolve(self):
+        for name in PRESETS:
+            cfg = get_preset(name)
+            assert cfg.name == name
+
+    def test_unknown_preset_raises(self):
+        with pytest.raises(KeyError):
+            get_preset("nope")
+
+    def test_overrides(self):
+        p = base_parser("t")
+        args = p.parse_args([
+            "--preset", "gta2city_warmup",
+            "--source_root", "/data/g", "--num_steps", "10",
+            "--compute_dtype", "float32", "--seed", "5",
+        ])
+        cfg = apply_overrides(get_preset(args.preset), args)
+        assert cfg.data.source_root == "/data/g"
+        assert cfg.train.num_steps == 10
+        assert cfg.train.compute_dtype == "float32"
+        assert cfg.train.seed == 5
+
+
+class TestOfflineTools:
+    @pytest.fixture()
+    def city_fixture(self, tmp_path):
+        from diga_tpu.data import synthetic
+
+        root = str(tmp_path / "city")
+        img_list, lbl_list = synthetic.make_cityscapes_fixture(
+            root, n=2, h=40, w=72, split="train")
+        val_img, val_lbl = synthetic.make_cityscapes_fixture(
+            root, n=1, h=40, w=72, split="val")
+        return root, img_list, lbl_list, val_img, val_lbl
+
+    def _common_args(self, root, img_list, lbl_list, val_img, val_lbl):
+        return [
+            "--target_root", root,
+            "--target_img_list", img_list, "--target_lbl_list", lbl_list,
+            "--val_img_list", val_img, "--val_lbl_list", val_lbl,
+        ]
+
+    def test_pseudolabel_generator_cli(self, city_fixture, tmp_path, monkeypatch):
+        root, img_list, lbl_list, val_img, val_lbl = city_fixture
+        import dataclasses
+
+        import diga_tpu.cli.pseudolabel_generator as M
+        from diga_tpu.configs import presets
+
+        # shrink the preset for CPU: tiny model + tiny eval sizes
+        tiny = dataclasses.replace(
+            presets.get_preset("gta2city_warmup"),
+            train=dataclasses.replace(
+                presets.get_preset("gta2city_warmup").train,
+                crop_hw=(32, 64), compute_dtype="float32", remat=False),
+            eval=presets.EvalConfig(out_hw=(40, 72), ds_hw=(20, 36)),
+            extra={"layers": (1, 1, 1, 1)},
+        )
+        monkeypatch.setitem(presets.PRESETS, "tiny_warmup", tiny)
+
+        out_dir = str(tmp_path / "pseudo")
+        M.main([
+            "--preset", "tiny_warmup", "--output_dir", out_dir, "--limit", "2",
+            *self._common_args(root, img_list, lbl_list, val_img, val_lbl),
+        ])
+        files = os.listdir(out_dir)
+        assert len(files) == 2
+        from PIL import Image
+
+        img = Image.open(os.path.join(out_dir, files[0]))
+        assert img.mode == "P"
+        arr = np.array(img)
+        assert arr.max() < 19
+
+    def test_evaluate_val_cli(self, city_fixture, monkeypatch):
+        root, img_list, lbl_list, val_img, val_lbl = city_fixture
+        import dataclasses
+
+        import diga_tpu.cli.evaluate_val as M
+        from diga_tpu.configs import presets
+
+        tiny = dataclasses.replace(
+            presets.get_preset("gta2city_warmup"),
+            train=dataclasses.replace(
+                presets.get_preset("gta2city_warmup").train,
+                crop_hw=(32, 64), compute_dtype="float32", remat=False),
+            eval=presets.EvalConfig(out_hw=(40, 72), ds_hw=(20, 36)),
+            extra={"layers": (1, 1, 1, 1)},
+        )
+        monkeypatch.setitem(presets.PRESETS, "tiny_eval", tiny)
+        results = M.main([
+            "--preset", "tiny_eval", "--eval_limit", "1",
+            *self._common_args(root, img_list, lbl_list, val_img, val_lbl),
+        ])
+        assert "cityscapes" in results
+        assert 0.0 <= results["cityscapes"]["mean_iou"] <= 1.0
