@@ -52,24 +52,44 @@ class TwoScaleEvaluator:
         num_classes: int = 19,
         out_hw: tuple[int, int] = (1024, 2048),
         ds_hw: tuple[int, int] = (512, 1024),
+        mesh=None,
     ):
+        """``mesh``: optional data mesh — eval batches shard over devices
+        (pass batch size = a multiple of mesh size); the confusion matrix
+        stays replicated, its update all-reduces implicitly under GSPMD.
+        """
         self.num_classes = num_classes
         self.out_hw = out_hw
         self.ds_hw = ds_hw
+        self.mesh = mesh
         self.score = RunningScore(num_classes)
 
-        @jax.jit
         def _step(conf, image, label):
             merged = two_scale_logits(apply_fn, image, out_hw, ds_hw)
             pred = jnp.argmax(merged, axis=-1)
             return confusion_update(conf, label, pred, num_classes), pred
 
-        self._step = _step
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+
+            self._step = jax.jit(
+                _step,
+                in_shardings=(replicated(mesh), batch_sharding(mesh),
+                              batch_sharding(mesh)),
+                out_shardings=(replicated(mesh), batch_sharding(mesh)),
+            )
+        else:
+            self._step = jax.jit(_step)
 
     def update(self, image, label):
-        self.score.confusion, pred = self._step(
-            self.score.confusion, jnp.asarray(image), jnp.asarray(label)
-        )
+        image = jnp.asarray(image)
+        label = jnp.asarray(label)
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            sharded = shard_batch({"i": image, "l": label}, self.mesh)
+            image, label = sharded["i"], sharded["l"]
+        self.score.confusion, pred = self._step(self.score.confusion, image, label)
         return pred
 
     def run(self, batches, progress: bool = False) -> tuple[dict, dict]:

@@ -168,3 +168,26 @@ class TestEvaluator:
         ev.update(image, label)
         scores, cls_iu = ev.score.get_scores()
         assert scores["mean_iou"] == pytest.approx(1.0)
+
+
+class TestShardedEvaluator:
+    def test_two_scale_eval_sharded_over_mesh(self, eight_devices):
+        from diga_tpu.eval import TwoScaleEvaluator
+        from diga_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+
+        def apply_fn(img):
+            logits = jnp.zeros((*img.shape[:3], 3))
+            return logits.at[..., 0].set(img[..., 0] * 10)
+
+        label = np.zeros((8, 16, 32), np.int32)
+        image = np.zeros((8, 16, 32, 3), np.float32)
+        image[..., 0] = 1.0
+        ev = TwoScaleEvaluator(apply_fn, num_classes=3, out_hw=(16, 32),
+                               ds_hw=(8, 16), mesh=mesh)
+        ev.update(image, label)
+        scores, _ = ev.score.get_scores()
+        assert scores["mean_iou"] == pytest.approx(1.0)
+        # counts cover all 8 images' pixels exactly once
+        assert int(np.asarray(ev.score.confusion).sum()) == 8 * 16 * 32
