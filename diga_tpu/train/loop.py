@@ -139,7 +139,11 @@ def make_train_iterator(cfg: ExperimentConfig, with_target: bool):
     return gen(), src, tgt
 
 
-def make_val_iterator(cfg: ExperimentConfig, limit: int | None = None):
+def make_val_iterator(cfg: ExperimentConfig, limit: int | None = None,
+                      batch: int = 1):
+    """Batched val iterator; pads the tail batch by repeating the last
+    image and masking its labels to ignore (so sharded eval gets full
+    batches without perturbing the confusion matrix)."""
     ds = cityscapes_dataset(
         cfg.data.target_root, cfg.data.val_img_list, cfg.data.val_lbl_list,
         split="val", resize_hw=cfg.eval.out_hw,
@@ -147,9 +151,15 @@ def make_val_iterator(cfg: ExperimentConfig, limit: int | None = None):
     n = len(ds) if limit is None else min(limit, len(ds))
 
     def gen():
-        for i in range(n):
-            s = ds[i]
-            yield {"image": s["image"][None], "label": s["label"][None].astype(np.int32)}
+        for start in range(0, n, batch):
+            idx = list(range(start, min(start + batch, n)))
+            samples = [ds[i] for i in idx]
+            images = [s["image"] for s in samples]
+            labels = [s["label"].astype(np.int32) for s in samples]
+            while len(images) < batch:  # pad tail
+                images.append(images[-1])
+                labels.append(np.full_like(labels[-1], 255))
+            yield {"image": np.stack(images), "label": np.stack(labels)}
 
     return gen
 
