@@ -60,7 +60,10 @@ class BatchLoader:
         while not self._stop.is_set():
             indices = [next(it) for _ in range(self.batch_size)]
             if batch_idx % self.num_workers == worker_id:
-                rng = np.random.default_rng((self.seed, batch_idx, worker_id))
+                # seed by (seed, batch index) ONLY: the produced batch is a
+                # deterministic function of its index no matter which
+                # worker builds it or how many workers exist
+                rng = np.random.default_rng((self.seed, batch_idx))
                 samples = [
                     self.dataset.__getitem__(i, rng=rng) for i in indices
                 ]

@@ -174,3 +174,31 @@ class TestPipeline:
         got1 = [next(i1) for _ in range(5)]
         assert set(got0).isdisjoint(got1)
         assert sorted(got0 + got1) == list(range(10))
+
+
+class TestLoaderDeterminism:
+    def test_same_seed_same_batches_across_worker_counts(self, tmp_path):
+        """The threaded loader must be a deterministic function of (seed,
+        batch index) regardless of worker count or thread scheduling —
+        this is the pipeline's race-freedom contract."""
+        from diga_tpu.data import BatchLoader, Compose, RandomCrop, gta5_dataset, synthetic
+
+        root = str(tmp_path / "gta5")
+        list_path = synthetic.make_gta5_fixture(root, n=6)
+        def make(workers):
+            from diga_tpu.data import RandomHorizontallyFlip, RandomSizedAndCrop
+
+            ds = gta5_dataset(
+                root, list_path, resize_hw=(48, 96),
+                transform=Compose([RandomHorizontallyFlip(),
+                                   RandomSizedAndCrop([32, 64])]),
+            )
+            return BatchLoader(ds, batch_size=2, num_workers=workers, seed=11)
+
+        a, b = make(1), make(4)
+        ia, ib = iter(a), iter(b)
+        for _ in range(6):
+            ba, bb = next(ia), next(ib)
+            np.testing.assert_array_equal(ba["image"], bb["image"])
+            np.testing.assert_array_equal(ba["label"], bb["label"])
+        a.stop(); b.stop()
