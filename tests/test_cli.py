@@ -107,3 +107,51 @@ class TestOfflineTools:
         ])
         assert "cityscapes" in results
         assert 0.0 <= results["cityscapes"]["mean_iou"] <= 1.0
+
+
+class TestTranslatorCLI:
+    def test_translator_trains_and_exports(self, tmp_path, monkeypatch):
+        import dataclasses
+
+        from diga_tpu.data import synthetic
+        import diga_tpu.cli.train_domain_translator as M
+        from diga_tpu.configs import presets
+        from diga_tpu.models import translator as T
+
+        gta_root = str(tmp_path / "gta5")
+        city_root = str(tmp_path / "city")
+        gta_list = synthetic.make_gta5_fixture(gta_root, n=2, h=40, w=72)
+        img_list, lbl_list = synthetic.make_cityscapes_fixture(
+            city_root, n=2, h=40, w=72, split="train")
+
+        base = presets.get_preset("gta2city_translator")
+        tiny = dataclasses.replace(
+            base,
+            data=dataclasses.replace(
+                base.data,
+                source_root=gta_root, target_root=city_root,
+                source_list=gta_list, target_img_list=img_list,
+                target_lbl_list=lbl_list, num_workers=2,
+                source_streams=(presets.LoaderSpec("gta5", (40, 72), 1),),
+                target_streams=(presets.LoaderSpec("cityscapes", (40, 72), 1),),
+            ),
+            train=dataclasses.replace(
+                base.train, crop_hw=(32, 64), compute_dtype="float32"),
+        )
+        monkeypatch.setitem(presets.PRESETS, "tiny_translator", tiny)
+        # shrink the modules for CPU speed
+        monkeypatch.setattr(T.ImgEncoder, "dim", 8)
+        monkeypatch.setattr(T.ImgEncoder, "n_res", 1)
+        monkeypatch.setattr(T.ImgDecoder, "dim", 32)
+        monkeypatch.setattr(T.ImgDecoder, "n_res", 1)
+        monkeypatch.setattr(T.Discriminator, "dim", 8)
+        monkeypatch.setattr(T.Discriminator, "n_layer", 2)
+        monkeypatch.setattr(T.Discriminator, "num_scales", 2)
+
+        work = str(tmp_path / "work")
+        M.main(["--preset", "tiny_translator", "--work_dir", work,
+                "--num_steps", "2", "--save_every", "1000"])
+        import os
+
+        weights = os.listdir(os.path.join(work, "weights"))
+        assert {"enc_s.pth", "dec_s2t.pth", "enc_t.pth", "dec_t2s.pth"} <= set(weights)
