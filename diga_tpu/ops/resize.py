@@ -19,36 +19,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=256)
-def _interp_matrix(in_size: int, out_size: int, align_corners: bool = True) -> np.ndarray:
-    """(out_size, in_size) row-interpolation matrix, float32.
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool = True) -> jnp.ndarray:
+    """(out_size, in_size) row-interpolation matrix, computed ON DEVICE.
 
     align_corners=True: src = o * (in-1)/(out-1)
     align_corners=False: src = (o + 0.5) * in/out - 0.5  (clamped)
+
+    Bilinear weights have the closed form relu(1 - |src_o - i|) (the two
+    adjacent cells get 1-f and f; everything else is clipped to 0), so the
+    matrix is a tiny iota computation instead of a baked numpy constant —
+    full-res eval matrices reach 8 MB, which overflowed the remote
+    compiler's request limit when embedded as literals.
     """
-    A = np.zeros((out_size, in_size), dtype=np.float32)
     if out_size == 1:
-        if align_corners:
-            A[0, 0] = 1.0
-        else:
-            src = 0.5 * in_size / 1.0 - 0.5
-            i0 = int(np.clip(np.floor(src), 0, in_size - 1))
-            i1 = min(i0 + 1, in_size - 1)
-            f = float(np.clip(src - i0, 0.0, 1.0))
-            A[0, i0] += 1.0 - f
-            A[0, i1] += f
-        return A
-    o = np.arange(out_size, dtype=np.float64)
-    if align_corners:
-        src = o * (in_size - 1) / (out_size - 1)
+        src = jnp.zeros((1,), jnp.float32) if align_corners else jnp.clip(
+            jnp.full((1,), 0.5 * in_size - 0.5, jnp.float32), 0, in_size - 1)
     else:
-        src = np.clip((o + 0.5) * in_size / out_size - 0.5, 0, in_size - 1)
-    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
-    i1 = np.minimum(i0 + 1, in_size - 1)
-    f = (src - i0).astype(np.float32)
-    A[np.arange(out_size), i0] += 1.0 - f
-    A[np.arange(out_size), i1] += f
-    return A
+        o = jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0)[:, 0]
+        if align_corners:
+            src = o * ((in_size - 1) / (out_size - 1))
+        else:
+            src = jnp.clip(o * (in_size / out_size) + (0.5 * in_size / out_size - 0.5),
+                           0, in_size - 1)
+    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - i))
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = True) -> jnp.ndarray:
@@ -66,10 +60,10 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool
     # bf16 would visibly shift eval logits and break mIoU parity.
     prec = jax.lax.Precision.HIGHEST
     if h != oh:
-        Ah = jnp.asarray(_interp_matrix(h, oh, align_corners))
+        Ah = _interp_matrix(h, oh, align_corners)
         xf = jnp.einsum("oh,bhwc->bowc", Ah, xf, precision=prec)
     if w != ow:
-        Aw = jnp.asarray(_interp_matrix(w, ow, align_corners))
+        Aw = _interp_matrix(w, ow, align_corners)
         xf = jnp.einsum("ow,bhwc->bhoc", Aw, xf, precision=prec)
     out = xf.astype(dtype)
     return out[0] if squeeze else out
