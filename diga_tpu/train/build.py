@@ -175,7 +175,13 @@ def build_experiment(
     else:
         step = jax.jit(raw_step, donate_argnums=(0,))
 
+    rgb_input = cfg.extra.get("rgb_input", False)
+
     def eval_apply(state: SegTrainState, img):
+        if rgb_input:
+            # semiseg feeds RGB (BGR->RGB flip at model input,
+            # semi-supervised_segmentation/evaluate_val.py:76)
+            img = img[..., ::-1]
         _, _, logits, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             img, train=False,
