@@ -1,0 +1,72 @@
+"""Photometric-chain correctness: HSV round-trip, blur vs scipy, model/unit
+space round-trip, per-image apply gating."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diga_tpu.ops.photometric import (
+    _hsv_to_rgb,
+    _rgb_to_hsv,
+    gaussian_blur,
+    photometric_chain,
+    to_model,
+    to_unit,
+)
+
+RNG = np.random.default_rng(9)
+
+
+class TestColorSpaces:
+    def test_hsv_roundtrip(self):
+        rgb = jnp.asarray(RNG.uniform(0.05, 0.95, size=(1, 16, 16, 3)).astype(np.float32))
+        back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+    def test_hsv_matches_colorsys(self):
+        import colorsys
+
+        vals = [(0.2, 0.5, 0.9), (0.9, 0.1, 0.3), (0.5, 0.5, 0.5)]
+        for r, g, b in vals:
+            hsv = np.asarray(_rgb_to_hsv(jnp.asarray([[[[r, g, b]]]])))[0, 0, 0]
+            ref = colorsys.rgb_to_hsv(r, g, b)
+            np.testing.assert_allclose(hsv, ref, atol=1e-6)
+
+    def test_unit_model_roundtrip(self):
+        x = jnp.asarray(RNG.normal(size=(1, 8, 8, 3)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(to_model(to_unit(x))), np.asarray(x),
+                                   atol=1e-5)
+
+
+class TestBlur:
+    def test_matches_scipy_reflect(self):
+        from scipy import ndimage
+
+        x = RNG.normal(size=(1, 16, 20, 2)).astype(np.float32)
+        ours = np.asarray(gaussian_blur(jnp.asarray(x), ksize=3, sigma=2.0))
+        # build the same truncated 3x3 kernel and correlate with reflect pad
+        ax = np.arange(3) - 1.0
+        k = np.exp(-0.5 * (ax / 2.0) ** 2)
+        k = k / k.sum()
+        k2 = np.outer(k, k)
+        for c in range(2):
+            ref = ndimage.correlate(x[0, :, :, c], k2, mode="mirror")
+            np.testing.assert_allclose(ours[0, :, :, c], ref, atol=1e-5)
+
+
+class TestChainGating:
+    def test_p_zero_is_identity(self):
+        x = jnp.asarray(RNG.uniform(0.1, 0.9, size=(2, 16, 16, 3)).astype(np.float32))
+        out = photometric_chain(x, jax.random.PRNGKey(0), p_jitter=0.0,
+                                p_gray=0.0, p_blur=0.0, p_sharp=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_grayscale_p1_makes_channels_equal(self):
+        x = jnp.asarray(RNG.uniform(0.1, 0.9, size=(1, 8, 8, 3)).astype(np.float32))
+        out = np.asarray(photometric_chain(
+            x, jax.random.PRNGKey(0), p_jitter=0.0, p_gray=1.0,
+            p_blur=0.0, p_sharp=0.0))
+        np.testing.assert_allclose(out[..., 0], out[..., 1], atol=1e-6)
+        np.testing.assert_allclose(out[..., 1], out[..., 2], atol=1e-6)
