@@ -27,6 +27,8 @@ def main(argv=None, force_stage: str | None = None):
     p.add_argument("--pretrained_backbone", type=str, default=None,
                    help="ImageNet/Caffe ResNet-101 .pth for backbone init "
                         "(reference seg_model_noaux.py:7)")
+    p.add_argument("--save_every", type=int, default=2000,
+                   help="periodic full-state checkpoint interval (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="restore the full train state (params, EMA, optimizer, "
                         "step, centroids, RNG) from <work_dir>/ckpt_final if "
@@ -69,6 +71,8 @@ def main(argv=None, force_stage: str | None = None):
         eval_limit=args.eval_limit,
         on_best=on_best,
         mesh=mesh,
+        save_every=args.save_every,
+        save_path=resume_path,
     )
     save_train_state(os.path.join(args.work_dir, "ckpt_final"), state)
     print(f"done: best mIoU {result.best_miou:.4f} @ step {result.best_step}")

@@ -184,6 +184,8 @@ def run_training(
     log_every: int = 50,
     profile_steps: tuple[int, int] | None = None,
     viz_every: int = 0,
+    save_every: int = 0,
+    save_path: str | None = None,
 ) -> tuple[TrainLoopResult, object]:
     """The outer loop: sample, step, log, eval, checkpoint-best.
 
@@ -237,6 +239,13 @@ def run_training(
             host_metrics["steps_per_sec"] = (log_every if i else 1) / max(dt, 1e-9)
             logger.log(i, host_metrics)
             logger.print(i, host_metrics, every=log_every)
+
+        if save_every and save_path and i > 0 and i % save_every == 0:
+            # periodic full-state checkpoint: crash recovery for 80k-step
+            # runs (the reference only saved on new-best mIoU)
+            from ..utils.checkpoint import save_train_state
+
+            save_train_state(save_path, state)
 
         if eval_apply_fn is not None and cfg.train.eval_every > 0 and i > 0 and i % cfg.train.eval_every == 0:
             ev = TwoScaleEvaluator(
