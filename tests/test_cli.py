@@ -155,3 +155,16 @@ class TestTranslatorCLI:
 
         weights = os.listdir(os.path.join(work, "weights"))
         assert {"enc_s.pth", "dec_s2t.pth", "enc_t.pth", "dec_t2s.pth"} <= set(weights)
+
+
+class TestCLIImports:
+    @pytest.mark.parametrize("mod", [
+        "train_seg", "train_warm_up", "train_dg", "train_self_training",
+        "train_domain_translator", "pseudolabel_generator", "calc_centroids",
+        "evaluate_val", "parity_check",
+    ])
+    def test_importable_and_has_main(self, mod):
+        import importlib
+
+        m = importlib.import_module(f"diga_tpu.cli.{mod}")
+        assert callable(getattr(m, "main"))
