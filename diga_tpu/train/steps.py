@@ -51,6 +51,9 @@ class StepConfig:
     # second view: CrDoMix composite (UDA) vs plain photometric view
     # (semiseg self-training, train_DiGA_semiseg_self_training.py:260)
     use_crdomix: bool = True
+    # fused Pallas distillation kernel (ops/pallas_kernels.py): identical
+    # numerics, recompute-based VJP avoids softmax residual traffic
+    use_pallas_distill: bool = False
 
 
 def _seg_loss_fn(cfg: StepConfig) -> Callable:
@@ -59,6 +62,14 @@ def _seg_loss_fn(cfg: StepConfig) -> Callable:
             lg, lb, thresh=cfg.ohem_thresh, min_kept=cfg.ohem_min_kept
         )
     return L.cross_entropy2d
+
+
+def _distill_fn(cfg: StepConfig) -> Callable:
+    if cfg.use_pallas_distill:
+        from ..ops.pallas_kernels import distillation_loss_pallas
+
+        return distillation_loss_pallas
+    return L.distillation_loss
 
 
 def _student_apply(model, params, batch_stats, x, rng, train=True, rgb_input=False):
@@ -82,6 +93,7 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
     views only (no translator, no CrDoMix).  reference: train_DiGA_DG.py."""
 
     seg_loss = _seg_loss_fn(cfg)
+    distill = _distill_fn(cfg)
 
     def step(state: SegTrainState, batch: dict):
         rng, k_aug, k_sdrop, k_tdrop = jax.random.split(state.rng, 4)
@@ -112,11 +124,11 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
             )
             logits_up = resize_bilinear(logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)
-            distil = L.distillation_loss(t_logits_up, logits_up, cfg.distil_scale)
+            distil = distill(t_logits_up, logits_up, cfg.distil_scale)
             if cfg.aux_weight > 0:
                 aux_up = resize_bilinear(aux, cfg.crop_hw)
                 ce = ce + cfg.aux_weight * seg_loss(aux_up[:b], s_lbl)
-                distil = distil + cfg.aux_weight * L.distillation_loss(
+                distil = distil + cfg.aux_weight * distill(
                     t_aux_up, aux_up, cfg.distil_scale)
             total = cfg.lambda_seg * ce + cfg.lambda_distil * distil
             return total, (ce, distil, new_bs)
@@ -150,6 +162,7 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
     """
 
     seg_loss = _seg_loss_fn(cfg)
+    distill = _distill_fn(cfg)
 
     def step(state: SegTrainState, batch: dict):
         rng, k_aug, k_mix, k_sdrop, k_tdrop = jax.random.split(state.rng, 5)
@@ -180,11 +193,11 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
             )
             logits_up = resize_bilinear(logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)
-            distil = L.distillation_loss(t_logits_up, logits_up, cfg.distil_scale)
+            distil = distill(t_logits_up, logits_up, cfg.distil_scale)
             if cfg.aux_weight > 0:
                 aux_up = resize_bilinear(aux, cfg.crop_hw)
                 ce = ce + cfg.aux_weight * seg_loss(aux_up[:b], s_lbl)
-                distil = distil + cfg.aux_weight * L.distillation_loss(
+                distil = distil + cfg.aux_weight * distill(
                     t_aux_up, aux_up, cfg.distil_scale)
             total = cfg.lambda_seg * ce + cfg.lambda_distil * distil
             return total, (ce, distil, new_bs)
@@ -218,6 +231,7 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
     """
 
     seg_loss = _seg_loss_fn(cfg)
+    distill = _distill_fn(cfg)
 
     def step(state: SegTrainState, batch: dict):
         rng, k_aug_s, k_aug_t, k_mix1, k_mix2, k_sdrop, k_tdrop, k_tdrop2, k_cdrop = (
@@ -287,7 +301,7 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
             cross_up = resize_bilinear(cross_logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)
             ce_cross = seg_loss(cross_up, cross_lbl)
-            distil = L.distillation_loss(st_logits_up, logits_up, cfg.distil_scale)
+            distil = distill(st_logits_up, logits_up, cfg.distil_scale)
             total = cfg.lambda_seg * (ce + ce_cross) + cfg.lambda_distil * distil
             return total, (ce, ce_cross, distil, bs2)
 
