@@ -17,6 +17,7 @@ Mosaic); pixels tile the sublane dimension in blocks of ``BLOCK_P`` rows.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -126,7 +127,7 @@ def distillation_loss_pallas(teacher_logits, student_logits, scale=0.5):
     [clean; augmented] logit stacks.
     """
     b = teacher_logits.shape[0] // 2
-    npix = b * int(jnp.prod(jnp.asarray(teacher_logits.shape[1:-1])))
+    npix = b * math.prod(teacher_logits.shape[1:-1])
     # teacher clean -> student aug (weight 1)
     t0 = _ce_sum(teacher_logits[:b], student_logits[b:]) / npix
     # teacher aug -> student clean (weight scale)
@@ -142,7 +143,7 @@ def _fwd(teacher_logits, student_logits, scale):
 def _bwd(scale, res, g):
     teacher_logits, student_logits = res
     b = teacher_logits.shape[0] // 2
-    npix = b * int(jnp.prod(jnp.asarray(teacher_logits.shape[1:-1])))
+    npix = b * math.prod(teacher_logits.shape[1:-1])
     ds_aug = _ce_sum_grad(teacher_logits[:b], student_logits[b:], g, 1.0 / npix)
     ds_clean = _ce_sum_grad(teacher_logits[b:], student_logits[:b], g, scale / npix)
     ds = jnp.concatenate([ds_clean, ds_aug], axis=0)
