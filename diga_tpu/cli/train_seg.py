@@ -59,8 +59,12 @@ def main(argv=None, force_stage: str | None = None):
 
     weight_dir = os.path.join(args.work_dir, "weights")
 
+    model_kind = cfg.extra.get("model", "deeplab")
+    layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))
+
     def on_best(state, step_i, miou):
-        export_state_role_keyed(state, weight_dir)
+        export_state_role_keyed(state, weight_dir, layers=layers,
+                                model_kind=model_kind)
         save_train_state(os.path.join(args.work_dir, "ckpt_best"), state)
         print(f"saved best checkpoint at step {step_i} (mIoU {miou:.4f})")
 

@@ -198,16 +198,25 @@ def _load_centroids_torch(path: str):
     return obj.numpy() if hasattr(obj, "numpy") else np.asarray(obj)
 
 
-def export_state_role_keyed(state: SegTrainState, out_dir: str, layers=(3, 4, 23, 3)):
-    """Write student/teacher .pth in the reference layout (+ raw npz)."""
+def export_state_role_keyed(state: SegTrainState, out_dir: str,
+                            layers=(3, 4, 23, 3), model_kind: str = "deeplab"):
+    """Write student/teacher .pth in the reference layout."""
     from ..utils.checkpoint import export_role_keyed
 
     p = jax.tree_util.tree_map(np.asarray, state.params)
     s = jax.tree_util.tree_map(np.asarray, state.batch_stats)
     tp = jax.tree_util.tree_map(np.asarray, state.teacher_params)
     ts = jax.tree_util.tree_map(np.asarray, state.teacher_batch_stats)
-    roles = {
-        "student": convert.segmodel_to_torch(p, s, layers),
-        "teacher": convert.segmodel_to_torch(tp, ts, layers),
-    }
+    if model_kind == "hrnet_ocr":
+        from ..models.convert_hrnet import hrnet_ocr_to_torch
+
+        roles = {
+            "student": hrnet_ocr_to_torch(p, s),
+            "teacher": hrnet_ocr_to_torch(tp, ts),
+        }
+    else:
+        roles = {
+            "student": convert.segmodel_to_torch(p, s, layers),
+            "teacher": convert.segmodel_to_torch(tp, ts, layers),
+        }
     export_role_keyed(out_dir, roles)

@@ -211,7 +211,10 @@ def run_training(
     best_miou, best_step = 0.0, 0
     metrics = {}
     t_last = time.time()
-    for i in range(steps):
+    # exact resume: continue from the restored step counter (the reference
+    # restarted its schedule from 0 on every reload, SURVEY.md §5.4)
+    start = int(np.asarray(jax.device_get(state.step))) if hasattr(state, "step") else 0
+    for i in range(start, steps):
         if profile_steps and i == profile_steps[0]:
             import jax
 
