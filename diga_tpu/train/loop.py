@@ -216,15 +216,11 @@ def run_training(
     start = int(np.asarray(jax.device_get(state.step))) if hasattr(state, "step") else 0
     for i in range(start, steps):
         if profile_steps and i == profile_steps[0]:
-            import jax
-
             jax.profiler.start_trace(os.path.join(work_dir, "profile"))
         batch = next(it)
         batch.pop("t_lbl", None)
         state, metrics = step_fn(state, batch)
         if profile_steps and i == profile_steps[1]:
-            import jax
-
             jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
         if viz_every and i % viz_every == 0:
