@@ -44,9 +44,9 @@ def _fwd_kernel(t_ref, s_ref, out_ref, acc_ref, *, n_valid, n_blocks):
     s = s_ref[:].astype(jnp.float32)
     q = jax.nn.softmax(t, axis=-1)
     ls = jax.nn.log_softmax(s, axis=-1)
-    per_pixel = jnp.sum(-q * ls, axis=-1)  # (BLOCK_P,)
+    per_pixel = jnp.sum(-q * ls, axis=-1, keepdims=True)  # (BLOCK_P, 1) — 2D for Mosaic
     # mask padded tail rows of the final block
-    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_P, 1), 0)[:, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_P, 1), 0)
     valid = (bi * BLOCK_P + row) < n_valid
     acc_ref[0, 0] += jnp.sum(jnp.where(valid, per_pixel, 0.0))
 
