@@ -197,10 +197,16 @@ class HRNet(nn.Module):
 
     arch: dict = None
     dtype: Dtype = jnp.float32
+    # rematerialize each exchange module in backward: W48 at 512x1024
+    # batch 6 keeps 4 branches of high-res activations and OOMs 16 GB
+    # HBM without it
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         a = self.arch or W48
+        module_cls = (nn.remat(HRModule, static_argnums=(2,))
+                      if self.remat else HRModule)
         x = x.astype(self.dtype)
         # stride-4 stem (hrnet_module.py:347-354)
         x = ConvBN(a["stem_channels"], 3, 2, dtype=self.dtype, name="stem1")(x, train)
@@ -232,8 +238,8 @@ class HRNet(nn.Module):
                     new_xs.append(v)
             xs = new_xs
             for m in range(num_modules):
-                xs = HRModule(channels, num_blocks, dtype=self.dtype,
-                              name=f"stage{si}_module{m}")(xs, train)
+                xs = module_cls(channels, num_blocks, dtype=self.dtype,
+                                name=f"stage{si}_module{m}")(xs, train)
 
         # upsample all to branch-0 resolution and concat (:521-538)
         hw = xs[0].shape[1:3]
@@ -308,11 +314,13 @@ class HRNetOCR(nn.Module):
     num_classes: int = 19
     arch_name: str = "w48"
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         arch = W48 if self.arch_name == "w48" else W32
-        feats = HRNet(arch=arch, dtype=self.dtype, name="hrnet")(x, train)
+        feats = HRNet(arch=arch, dtype=self.dtype, remat=self.remat,
+                      name="hrnet")(x, train)
         aux, logits, aug = OCRHead(
             self.num_classes, arch["ocr_mid_channels"], arch["ocr_key_channels"],
             dtype=self.dtype, name="ocr")(feats, train)

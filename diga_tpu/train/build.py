@@ -32,7 +32,8 @@ def make_model(cfg: ExperimentConfig):
     if cfg.extra.get("model") == "hrnet_ocr":
         from ..models.hrnet_ocr import HRNetOCR
 
-        return HRNetOCR(num_classes=cfg.train.num_classes, dtype=dtype)
+        return HRNetOCR(num_classes=cfg.train.num_classes, dtype=dtype,
+                        remat=cfg.train.remat)
     layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))  # tiny-depth for tests
     return DeepLabV2(num_classes=cfg.train.num_classes, dtype=dtype,
                      layers=layers, remat=cfg.train.remat)
