@@ -30,6 +30,10 @@ class TranslatorConfig:
     lambda_seg_edge: float = 20.0
     lambda_percep: float = 0.1
     lambda_self: float = 0.001
+    # rematerialize each enc/dec/dis apply in the generator backward: the
+    # G loss chains ~10 full-res generator forwards, whose residuals
+    # exceed 16 GB HBM at 512x896 without it (measured)
+    remat: bool = True
 
 
 @flax.struct.dataclass
@@ -67,7 +71,10 @@ def build_translator_step(modules: dict, optimizer, cfg: TranslatorConfig,
     dis_s2t_m, dis_t2s_m = modules["dis_s2t"], modules["dis_t2s"]
 
     def apply(m, p, x):
-        return m.apply({"params": p}, x)
+        fn = lambda p, x: m.apply({"params": p}, x)
+        if cfg.remat:
+            fn = jax.checkpoint(fn)
+        return fn(p, x)
 
     def step(state: TranslatorState, batch: dict):
         s_img, s_lbl, t_img = batch["s_img"], batch["s_lbl"], batch["t_img"]
