@@ -168,3 +168,41 @@ class TestCLIImports:
 
         m = importlib.import_module(f"diga_tpu.cli.{mod}")
         assert callable(getattr(m, "main"))
+
+
+class TestCalcCentroidsCLI:
+    def test_target_centroids(self, tmp_path, monkeypatch):
+        import dataclasses
+
+        import numpy as np
+
+        from diga_tpu.data import synthetic
+        import diga_tpu.cli.calc_centroids as M
+        from diga_tpu.configs import presets
+
+        city_root = str(tmp_path / "city")
+        img_list, lbl_list = synthetic.make_cityscapes_fixture(
+            city_root, n=2, h=40, w=72, split="train")
+
+        base = presets.get_preset("gta2city_warmup")
+        tiny = dataclasses.replace(
+            base,
+            data=dataclasses.replace(
+                base.data, target_root=city_root,
+                target_img_list=img_list, target_lbl_list=lbl_list,
+                target_streams=(presets.LoaderSpec("cityscapes", (40, 72), 1),),
+            ),
+            train=dataclasses.replace(
+                base.train, crop_hw=(32, 64), compute_dtype="float32",
+                remat=False),
+            extra={"layers": (1, 1, 1, 1)},
+        )
+        monkeypatch.setitem(presets.PRESETS, "tiny_cc", tiny)
+        out = str(tmp_path / "cent")
+        M.main(["--preset", "tiny_cc", "--centroid_dir", out,
+                "--epochs", "1", "--limit", "2"])
+        import os
+
+        vec = np.load(os.path.join(out, "feat_centroids.npy"))
+        assert vec.shape == (19, 256)
+        assert np.abs(vec).sum() > 0  # some classes observed
