@@ -206,3 +206,20 @@ class TestCalcCentroidsCLI:
         vec = np.load(os.path.join(out, "feat_centroids.npy"))
         assert vec.shape == (19, 256)
         assert np.abs(vec).sum() > 0  # some classes observed
+
+
+class TestMakeLists:
+    def test_cityscapes_lists(self, tmp_path):
+        from diga_tpu.data import synthetic
+        import diga_tpu.cli.make_lists as M
+
+        root = str(tmp_path / "city")
+        synthetic.make_cityscapes_fixture(root, n=3, split="train")
+        synthetic.make_cityscapes_fixture(root, n=2, split="val")
+        out = str(tmp_path / "lists")
+        M.main(["cityscapes", "--root", root, "--out", out])
+        train = open(f"{out}/cityscapes_train.txt").read().strip().split("\n")
+        val_lbl = open(f"{out}/cityscapes_val_label.txt").read().strip().split("\n")
+        assert len(train) == 3
+        assert len(val_lbl) == 2
+        assert val_lbl[0].endswith("_gtFine_labelIds.png")
