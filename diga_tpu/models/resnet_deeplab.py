@@ -92,6 +92,50 @@ def max_pool_ceil(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp
     )
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the VALID positions of a padded feature map.
+
+    Same variable layout as ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var) and the same formulas (biased batch variance,
+    running stats lerped with ``momentum``), but batch statistics reduce
+    only where ``mask`` is 1 and the output is re-zeroed at pad positions.
+    Used by the space-to-batch path (ops/space_to_batch.py) where grids
+    are zero-padded to a multiple of the dilation factor: masking keeps
+    the padded computation bit-equal (to float tolerance) to the dilated
+    original.  ``n_valid`` is the static count of valid elements per
+    channel (mask is compile-time constant).
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, mask: jnp.ndarray, n_valid: float):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            xm = x.astype(jnp.float32) * mask
+            mean = jnp.sum(xm, axis=(0, 1, 2)) / n_valid
+            var = jnp.sum(xm * xm, axis=(0, 1, 2)) / n_valid - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean.astype(self.dtype)) * (
+            jax.lax.rsqrt(var + BN_EPS).astype(self.dtype) * scale.astype(self.dtype)
+        ) + bias.astype(self.dtype)
+        # re-zero pads: keeps the "pads are zero before every 3x3 conv"
+        # invariant (1x1 convs and relu preserve zeros; BN does not)
+        return y * mask.astype(y.dtype)
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm whose affine params are frozen in the optimizer.
 
@@ -102,12 +146,19 @@ class FrozenBatchNorm(nn.Module):
     param whose path contains 'frozen_bn'.  Cross-replica stat syncing is
     implicit: under GSPMD jit the batch mean/var reduce over the full
     logical batch.
+
+    When ``mask`` is given (space-to-batch padded grids) the masked
+    variant runs instead — identical variable tree either way.
     """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mask: jnp.ndarray | None = None,
+                 n_valid: float | None = None):
+        if mask is not None:
+            return MaskedBatchNorm(dtype=self.dtype, name="frozen_bn")(
+                x, train, mask, n_valid)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -127,27 +178,28 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mask=None, n_valid=None):
         residual = x
         y = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                     use_bias=False, dtype=self.dtype,
                     kernel_init=conv_init_normal(0.01), name="conv1")(x)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y, train)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn1")(y, train, mask, n_valid)
         y = nn.relu(y)
         y = FastConv3x3(self.planes, dilation=self.dilation,
                         dtype=self.dtype, name="conv2")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y, train)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn2")(y, train, mask, n_valid)
         y = nn.relu(y)
         y = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
                     kernel_init=conv_init_normal(0.01), name="conv3")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y, train)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y, train, mask, n_valid)
         if self.has_downsample:
             residual = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                kernel_init=conv_init_normal(0.01),
                                name="downsample_conv")(x)
-            residual = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(residual, train)
+            residual = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(
+                residual, train, mask, n_valid)
         return nn.relu(y + residual)
 
 
@@ -161,7 +213,7 @@ class ResNetStage(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mask=None, n_valid=None):
         # downsample exists iff stride != 1, channel change, or dilation 2/4
         in_ch = x.shape[-1]
         has_ds = (
@@ -170,10 +222,11 @@ class ResNetStage(nn.Module):
             or self.dilation in (2, 4)
         )
         x = Bottleneck(self.planes, self.stride, self.dilation,
-                       has_downsample=has_ds, dtype=self.dtype, name="block0")(x, train)
+                       has_downsample=has_ds, dtype=self.dtype,
+                       name="block0")(x, train, mask, n_valid)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, self.dilation,
-                           dtype=self.dtype, name=f"block{i}")(x, train)
+                           dtype=self.dtype, name=f"block{i}")(x, train, mask, n_valid)
         return x
 
 
@@ -248,9 +301,16 @@ class DeepLabV2(nn.Module):
     # rematerialize each stage in backward: trades ~30% more FLOPs for the
     # activation memory of a 6-image 512x896 batch fitting a single chip
     remat: bool = False
+    # stage-hoisted space-to-batch for the dilated stages: exact same math
+    # (ops/space_to_batch.py), but the inner convs become dense so XLA's
+    # per-conv SpaceToBatchConverter (and its ~140 tiled-layout copies per
+    # step, measured) never fires.  Auto-skipped when H/W aren't /4.
+    s2b: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.space_to_batch import batch_to_space, space_to_batch
+
         stage = nn.remat(ResNetStage, static_argnums=(2,)) if self.remat else ResNetStage
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -262,8 +322,49 @@ class DeepLabV2(nn.Module):
         x = stage(64, self.layers[0], dtype=self.dtype, name="layer1")(x, train)
         x = stage(128, self.layers[1], stride=2, dtype=self.dtype, name="layer2")(x, train)
         shallow = x
-        x = stage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
-        deep = stage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
+        if self.s2b and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            # layer3's dilation-2 convs are dense on the 2x2 subgrids;
+            # layer4's dilation-4 ones are dense on the nested 2x2 again.
+            # Param/batch-stat trees are identical to the dilated path.
+            x = space_to_batch(x, 2)
+            x = stage(256, self.layers[2], dilation=1, dtype=self.dtype, name="layer3")(x, train)
+            x = space_to_batch(x, 2)
+            x = stage(512, self.layers[3], dilation=1, dtype=self.dtype, name="layer4")(x, train)
+            # nested f=2 transforms permute subgrids differently from a
+            # single f=4, so unwind them in reverse order
+            deep = batch_to_space(batch_to_space(x, 2), 2)
+        elif self.s2b:
+            # Odd grids (ceil-mode pooling makes 512->129->65): zero-pad to
+            # even at each s2b hop and keep the result EXACT by (a) masked
+            # BN batch statistics and (b) re-zeroing pads after every BN,
+            # so every 3x3 conv reads zeros at pad taps exactly like the
+            # dilated conv's 'same' padding would.
+            b, h3, w3 = x.shape[0], x.shape[1], x.shape[2]
+            n_valid = float(b * h3 * w3)
+
+            def pad_even(t, m):
+                ph, pw = t.shape[1] % 2, t.shape[2] % 2
+                if ph or pw:
+                    t = jnp.pad(t, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                    m = jnp.pad(m, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                return t, m
+
+            mask = jnp.ones((1, h3, w3, 1), jnp.float32)
+            x, mask = pad_even(x, mask)
+            h3e, w3e = x.shape[1], x.shape[2]
+            x, mask = space_to_batch(x, 2), space_to_batch(mask, 2)
+            x = stage(256, self.layers[2], dilation=1, dtype=self.dtype,
+                      name="layer3")(x, train, jnp.tile(mask, (b, 1, 1, 1)), n_valid)
+            h4, w4 = x.shape[1], x.shape[2]
+            x, mask = pad_even(x, jnp.tile(mask, (b, 1, 1, 1)))
+            x, mask = space_to_batch(x, 2), space_to_batch(mask, 2)
+            x = stage(512, self.layers[3], dilation=1, dtype=self.dtype,
+                      name="layer4")(x, train, mask, n_valid)
+            x = batch_to_space(x, 2)[:, :h4, :w4]
+            deep = batch_to_space(x, 2)[:, :h3, :w3]
+        else:
+            x = stage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
+            deep = stage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
         feat, logits = ASPPHead(self.num_classes, dtype=self.dtype, name="head")(deep, train)
         return shallow, deep, logits, feat
 

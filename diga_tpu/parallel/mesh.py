@@ -23,6 +23,13 @@ DATA_AXIS = "data"
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devs = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"JAX device(s) exist ({devs}); for CPU emulation set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "force jax_platforms=cpu BEFORE first device use"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
