@@ -41,10 +41,18 @@ def main(argv=None):
     import optax
 
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    # module sizes overridable via preset extras (defaults = reference arch)
+    ex = cfg.extra.get
+    enc_kw = dict(dim=ex("enc_dim", 64), n_downsample=ex("n_downsample", 2),
+                  n_res=ex("n_res", 4), dtype=dtype)
+    dec_kw = dict(dim=ex("dec_dim", 256), n_upsample=ex("n_downsample", 2),
+                  n_res=ex("n_res", 4), dtype=dtype)
+    dis_kw = dict(dim=ex("dis_dim", 64), n_layer=ex("dis_layers", 4),
+                  num_scales=ex("dis_scales", 3), dtype=dtype)
     modules = {
-        "enc_s": ImgEncoder(dtype=dtype), "enc_t": ImgEncoder(dtype=dtype),
-        "dec_s2t": ImgDecoder(dtype=dtype), "dec_t2s": ImgDecoder(dtype=dtype),
-        "dis_s2t": Discriminator(dtype=dtype), "dis_t2s": Discriminator(dtype=dtype),
+        "enc_s": ImgEncoder(**enc_kw), "enc_t": ImgEncoder(**enc_kw),
+        "dec_s2t": ImgDecoder(**dec_kw), "dec_t2s": ImgDecoder(**dec_kw),
+        "dis_s2t": Discriminator(**dis_kw), "dis_t2s": Discriminator(**dis_kw),
     }
     tcfg = TranslatorConfig(
         lambda_adv=cfg.extra.get("lambda_adv", 0.5),

@@ -76,7 +76,12 @@ def _conv_block_to_torch(sd: dict, key: str, node: dict):
         sd[f"{key}.conv.bias"] = np.asarray(node["conv"]["bias"])
 
 
-def encoder_to_torch(params: dict, n_downsample: int = 2, n_res: int = 4) -> dict:
+def encoder_to_torch(params: dict, n_downsample: int | None = None,
+                     n_res: int | None = None) -> dict:
+    if n_downsample is None:
+        n_downsample = sum(1 for k in params if k.startswith("down"))
+    if n_res is None:
+        n_res = sum(1 for k in params if k.startswith("res"))
     sd: dict = {}
     _conv_block_to_torch(sd, "model.0", params["stem"])
     for i in range(n_downsample):
@@ -87,7 +92,12 @@ def encoder_to_torch(params: dict, n_downsample: int = 2, n_res: int = 4) -> dic
     return sd
 
 
-def decoder_to_torch(params: dict, n_upsample: int = 2, n_res: int = 4) -> dict:
+def decoder_to_torch(params: dict, n_upsample: int | None = None,
+                     n_res: int | None = None) -> dict:
+    if n_upsample is None:
+        n_upsample = sum(1 for k in params if k.startswith("up"))
+    if n_res is None:
+        n_res = sum(1 for k in params if k.startswith("res"))
     sd: dict = {}
     for r in range(n_res):
         _conv_block_to_torch(sd, f"model.0.model.{r}.model.0", params[f"res{r}"]["conv0"])
@@ -98,7 +108,12 @@ def decoder_to_torch(params: dict, n_upsample: int = 2, n_res: int = 4) -> dict:
     return sd
 
 
-def discriminator_to_torch(params: dict, num_scales: int = 3, n_layer: int = 4) -> dict:
+def discriminator_to_torch(params: dict, num_scales: int | None = None,
+                           n_layer: int | None = None) -> dict:
+    if num_scales is None:
+        num_scales = sum(1 for k in params if k.endswith("_head"))
+    if n_layer is None:
+        n_layer = sum(1 for k in params if k.startswith("scale0_conv"))
     sd: dict = {}
     for s in range(num_scales):
         for j in range(n_layer):

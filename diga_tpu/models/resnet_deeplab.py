@@ -119,9 +119,11 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), jnp.float32))
 
         if train:
-            xm = x.astype(jnp.float32) * mask
-            mean = jnp.sum(xm, axis=(0, 1, 2)) / n_valid
-            var = jnp.sum(xm * xm, axis=(0, 1, 2)) / n_valid - mean * mean
+            from ..ops.stats import sums_and_squares
+
+            s, s2 = sums_and_squares(x, (0, 1, 2), mask)
+            mean = s / n_valid
+            var = jnp.maximum(s2 / n_valid - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
@@ -230,6 +232,47 @@ class ResNetStage(nn.Module):
         return x
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with f32-accumulated stats, compute-dtype arithmetic.
+
+    Drop-in for nn.GroupNorm (same scale/bias param tree) in the bf16
+    compute path: flax normalizes in f32, materializing f32 copies of the
+    whole activation (measured as a top copy family in the warm-up step
+    HLO); here only the per-(image,group) scalars are f32 — the convert
+    fuses into the stat reduction and the normalization stays bf16.
+
+    epsilon 1e-5 matches torch nn.GroupNorm (the reference head's GN,
+    seg_model_noaux.py:140-214); flax's default is 1e-6.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.stats import sums_and_squares
+
+        b, h, w, c = x.shape
+        g = self.num_groups
+        cg = c // g
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # per-channel sums in native NHWC layout, then the group fold on the
+        # tiny [b, c] results (reshaping x before the big reduce puts the
+        # reduction across lanes — measured ~3.5 ms per GN site)
+        s_c, s2_c = sums_and_squares(x, (1, 2))             # [b, c]
+        n = float(h * w * cg)
+        mu = jnp.sum(s_c.reshape(b, g, cg), axis=-1) / n    # [b, g]
+        var = jnp.maximum(jnp.sum(s2_c.reshape(b, g, cg), axis=-1) / n - mu * mu, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)             # [b, g]
+        mu_c = jnp.repeat(mu, cg, axis=1)                   # [b, c]
+        inv_s = jnp.repeat(inv, cg, axis=1) * scale[None]
+        mul = inv_s.astype(x.dtype)
+        add = (bias[None] - mu_c * inv_s).astype(x.dtype)
+        return x * mul[:, None, None, :] + add[:, None, None, :]
+
+
 class SEBlock(nn.Module):
     """Squeeze-excitation over channels (reference :122-137)."""
 
@@ -265,19 +308,19 @@ class ASPPHead(nn.Module):
         branches = []
         y = nn.Conv(256, (1, 1), use_bias=True, dtype=self.dtype,
                     kernel_init=kaiming_fan_in, name="branch0_conv")(x)
-        y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="branch0_gn")(y)
+        y = FusedGroupNorm(num_groups=32, dtype=self.dtype, name="branch0_gn")(y)
         branches.append(nn.relu(y))
         for bi, d in enumerate(self.dilations, start=1):
             y = FastConv3x3(256, dilation=d, use_bias=True, dtype=self.dtype,
                             kernel_init=kaiming_fan_in, name=f"branch{bi}_conv")(x)
-            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"branch{bi}_gn")(y)
+            y = FusedGroupNorm(num_groups=32, dtype=self.dtype, name=f"branch{bi}_gn")(y)
             branches.append(nn.relu(y))
         out = jnp.concatenate(branches, axis=-1)
         if self.use_se:
             out = SEBlock(dtype=self.dtype, name="se")(out)
         out = FastConv3x3(256, dilation=1, use_bias=True, dtype=self.dtype,
                           kernel_init=kaiming_fan_in, name="bottleneck_conv")(out)
-        out = nn.GroupNorm(num_groups=32, dtype=self.dtype, name="bottleneck_gn")(out)
+        out = FusedGroupNorm(num_groups=32, dtype=self.dtype, name="bottleneck_gn")(out)
         # head: channel dropout then 1x1 classifier; 'feat' is the 256-d
         # post-dropout tensor the prototype machinery consumes (:205-211)
         feat = nn.Dropout(self.droprate, broadcast_dims=(1, 2),

@@ -22,10 +22,37 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class InstanceNorm(nn.Module):
+    """torch InstanceNorm2d(affine=False): per-(image,channel) spatial norm.
+
+    Hand-rolled instead of flax GroupNorm(group_size=1): flax upcasts the
+    whole activation to f32 and normalizes in f32, which at bf16 compute
+    materializes f32 copies of every translator activation — measured as
+    the single largest copy family in the warm-up step HLO (~7.6 GB/step
+    of tiled-layout f32 copies).  Here the mean/mean-square reductions
+    accumulate in f32 directly off the bf16 tensor (XLA fuses the convert
+    into the reduce) and the normalization arithmetic stays in the
+    compute dtype, so no f32 activation ever exists.  At f32 compute the
+    math is identical to flax's (biased variance, same op order).
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.stats import sums_and_squares
+
+        n = float(x.shape[1] * x.shape[2])
+        s, s2 = sums_and_squares(x, (1, 2))        # [b, c]
+        mu = (s / n)[:, None, None, :]
+        var = jnp.maximum((s2 / n)[:, None, None, :] - mu * mu, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mu.astype(x.dtype)) * inv.astype(x.dtype)
+
+
 def instance_norm(name: str, dtype=jnp.float32):
-    # torch InstanceNorm2d(affine=False): per-channel spatial normalization
-    return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                        use_scale=False, epsilon=1e-5, dtype=dtype, name=name)
+    # parameter-free (affine=False), so the variable tree is unaffected
+    return InstanceNorm(name=name)
 
 
 def reflect_pad(x, p: int):
@@ -165,6 +192,13 @@ class Discriminator(nn.Module):
                               name=f"scale{s}_conv{i + 1}")(y)
                 d *= 2
             y = nn.Conv(1, (1, 1), dtype=self.dtype, name=f"scale{s}_head")(y)
+            if y.shape[1] == 0 or y.shape[2] == 0:
+                raise ValueError(
+                    f"Discriminator scale {s} output is empty {y.shape}: the "
+                    f"input crop is too small for num_scales={self.num_scales}"
+                    f"/n_layer={self.n_layer} (LSGAN mean over an empty map "
+                    "is nan). Use a larger crop or shrink the discriminator."
+                )
             outputs.append(y)
             x = avg_pool_3x3s2_no_pad_count(x)
         return outputs

@@ -137,16 +137,14 @@ class TestTranslatorCLI:
             ),
             train=dataclasses.replace(
                 base.train, crop_hw=(32, 64), compute_dtype="float32"),
+            # shrink the modules for CPU speed; dis_layers/dis_scales must
+            # fit the tiny crop (full-size PatchGAN maps go empty -> the
+            # Discriminator raises at trace time)
+            extra={**(base.extra or {}), "enc_dim": 8, "dec_dim": 32,
+                   "n_res": 1, "dis_dim": 8, "dis_layers": 2,
+                   "dis_scales": 2},
         )
         monkeypatch.setitem(presets.PRESETS, "tiny_translator", tiny)
-        # shrink the modules for CPU speed
-        monkeypatch.setattr(T.ImgEncoder, "dim", 8)
-        monkeypatch.setattr(T.ImgEncoder, "n_res", 1)
-        monkeypatch.setattr(T.ImgDecoder, "dim", 32)
-        monkeypatch.setattr(T.ImgDecoder, "n_res", 1)
-        monkeypatch.setattr(T.Discriminator, "dim", 8)
-        monkeypatch.setattr(T.Discriminator, "n_layer", 2)
-        monkeypatch.setattr(T.Discriminator, "num_scales", 2)
 
         work = str(tmp_path / "work")
         M.main(["--preset", "tiny_translator", "--work_dir", work,
