@@ -65,11 +65,6 @@ W32 = {
 }
 
 
-def bn(dtype, name):
-    return nn.BatchNorm(use_running_average=None, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, dtype=dtype, name=name)
-
-
 class ConvBN(nn.Module):
     features: int
     kernel: int = 3
@@ -89,8 +84,12 @@ class ConvBN(nn.Module):
                         strides=(self.stride, self.stride),
                         padding=[(p, p), (p, p)], use_bias=False,
                         dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+        # BatchNorm2D: nn.BatchNorm variable layout, stats without f32
+        # activation copies (models/norms.py)
+        from .norms import BatchNorm2D
+
+        x = BatchNorm2D(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                        dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x) if self.relu else x
 
 

@@ -1,0 +1,79 @@
+"""Shared normalization modules that avoid f32 activation materialization.
+
+``flax.linen.BatchNorm`` computes its batch statistics on an f32 *cast*
+of the activation; under a bf16 compute dtype XLA materializes that f32
+copy (the cast feeds both the mean and the mean-of-squares reductions).
+Measured in the warm-up step trace as multi-ms ``multiply_convert_fusion``
+ops emitting f32 activation-sized tuples for every train-mode BN in the
+stem/layer1/layer2 of the DeepLab backbone (and every BN in HRNet).
+
+``BatchNorm2D`` below is a drop-in replacement with the exact variable
+layout of ``nn.BatchNorm`` (params ``scale``/``bias``, batch_stats
+``mean``/``var``, all f32) whose statistics come from
+``ops.stats.sums_and_squares`` — two reductions over the ORIGINAL bf16
+tensor with f32 accumulators, so no activation-sized f32 tensor is ever
+created.  Formulas match flax/torch: biased batch variance
+(use_fast_variance form E[x²]−E[x]²), running stats lerped with
+``momentum`` (flax convention: torch momentum 0.1 == flax 0.9), eps
+inside the rsqrt.
+
+The optional ``mask`` (+ static ``n_valid``) restricts statistics to
+valid positions of a zero-padded feature map and re-zeroes pads on the
+way out — used by the space-to-batch path (ops/space_to_batch.py) where
+grids are padded to a multiple of the dilation factor; masking keeps the
+padded computation equal (to float tolerance) to the dilated original.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class BatchNorm2D(nn.Module):
+    """BatchNorm over NHWC axis (0,1,2); nn.BatchNorm variable layout."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, mask: jnp.ndarray | None = None,
+                 n_valid: float | None = None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            from ..ops.stats import sums_and_squares
+
+            s, s2 = sums_and_squares(x, (0, 1, 2), mask)
+            if n_valid is None:
+                n_valid = float(x.shape[0] * x.shape[1] * x.shape[2])
+            mean = s / n_valid
+            var = jnp.maximum(s2 / n_valid - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean.astype(self.dtype)) * (
+            jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
+            * scale.astype(self.dtype)
+        ) + bias.astype(self.dtype)
+        if mask is not None:
+            # keep the "pads are zero before every 3x3 conv" invariant
+            # (1x1 convs and relu preserve zeros; BN does not)
+            y = y * mask.astype(y.dtype)
+        return y

@@ -92,52 +92,6 @@ def max_pool_ceil(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp
     )
 
 
-class MaskedBatchNorm(nn.Module):
-    """BatchNorm over the VALID positions of a padded feature map.
-
-    Same variable layout as ``nn.BatchNorm`` (params scale/bias,
-    batch_stats mean/var) and the same formulas (biased batch variance,
-    running stats lerped with ``momentum``), but batch statistics reduce
-    only where ``mask`` is 1 and the output is re-zeroed at pad positions.
-    Used by the space-to-batch path (ops/space_to_batch.py) where grids
-    are zero-padded to a multiple of the dilation factor: masking keeps
-    the padded computation bit-equal (to float tolerance) to the dilated
-    original.  ``n_valid`` is the static count of valid elements per
-    channel (mask is compile-time constant).
-    """
-
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool, mask: jnp.ndarray, n_valid: float):
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros((c,), jnp.float32))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones((c,), jnp.float32))
-
-        if train:
-            from ..ops.stats import sums_and_squares
-
-            s, s2 = sums_and_squares(x, (0, 1, 2), mask)
-            mean = s / n_valid
-            var = jnp.maximum(s2 / n_valid - mean * mean, 0.0)
-            if not self.is_initializing():
-                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
-                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * var
-        else:
-            mean, var = ra_mean.value, ra_var.value
-
-        y = (x - mean.astype(self.dtype)) * (
-            jax.lax.rsqrt(var + BN_EPS).astype(self.dtype) * scale.astype(self.dtype)
-        ) + bias.astype(self.dtype)
-        # re-zero pads: keeps the "pads are zero before every 3x3 conv"
-        # invariant (1x1 convs and relu preserve zeros; BN does not)
-        return y * mask.astype(y.dtype)
-
-
 class FrozenBatchNorm(nn.Module):
     """BatchNorm whose affine params are frozen in the optimizer.
 
@@ -149,8 +103,9 @@ class FrozenBatchNorm(nn.Module):
     implicit: under GSPMD jit the batch mean/var reduce over the full
     logical batch.
 
-    When ``mask`` is given (space-to-batch padded grids) the masked
-    variant runs instead — identical variable tree either way.
+    Delegates to models/norms.py BatchNorm2D (stats without f32
+    activation copies; optional mask for space-to-batch padded grids) —
+    identical variable tree to nn.BatchNorm either way.
     """
 
     dtype: Dtype = jnp.float32
@@ -158,16 +113,11 @@ class FrozenBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, mask: jnp.ndarray | None = None,
                  n_valid: float | None = None):
-        if mask is not None:
-            return MaskedBatchNorm(dtype=self.dtype, name="frozen_bn")(
-                x, train, mask, n_valid)
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-            name="frozen_bn",
-        )(x)
+        from .norms import BatchNorm2D
+
+        return BatchNorm2D(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                           dtype=self.dtype, name="frozen_bn")(
+            x, train, mask, n_valid)
 
 
 class Bottleneck(nn.Module):

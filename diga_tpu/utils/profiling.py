@@ -1,0 +1,151 @@
+"""On-device step profiling: trace capture + XLA-op breakdown report.
+
+The reference has no tracing at all (SURVEY.md §5.1 — wall-of-print +
+tqdm).  Here, ``run_training(profile_steps=...)`` captures a
+``jax.profiler`` trace; this module turns that raw trace into an
+actionable report without TensorBoard: per-category device-time totals
+(fusion/convolution/copy/reshape/...) and the top op groups, averaged
+per step.
+
+Notes that shape the implementation (measured on the TPU tunnel):
+  * only the serialized ``XLA Ops`` trace line reflects wall time — the
+    ``Async XLA Ops`` line records overlapped DMA (copy-start/copy-done)
+    whose durations sum to several x the step time and must not be
+    attributed;
+  * xplane protos are parsed with tensorflow's bundled
+    ``tsl.profiler`` schema when tensorflow is present; otherwise the
+    capture still works and the report degrades with a clear message.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+def op_category(op_name: str) -> str:
+    """Coarse XLA op family from an HLO instruction name."""
+    n = op_name.lower().lstrip("%")
+    if "fusion" in n:
+        return "fusion"
+    if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
+        return "copy"
+    if "convolution" in n or "conv" in n:
+        return "convolution"
+    if "reshape" in n:
+        return "reshape"
+    if "transpose" in n:
+        return "transpose"
+    if "dot" in n:
+        return "dot"
+    if "all-reduce" in n or "reduce-scatter" in n or "all-gather" in n or "collective" in n:
+        return "collective"
+    if "dynamic-update-slice" in n or "dynamic-slice" in n or "slice" in n:
+        return "slice"
+    if "bitcast" in n or "convert" in n:
+        return "convert"
+    return "other"
+
+
+@dataclass
+class ProfileReport:
+    """Aggregated device-op times from one trace (seconds, per capture)."""
+
+    total_s: float = 0.0
+    by_category: dict = field(default_factory=dict)        # name -> (sec, count)
+    top_ops: list = field(default_factory=list)            # [(sec, count, name)]
+    n_steps: int = 1
+
+    def render(self, top_k: int = 25) -> str:
+        n = max(self.n_steps, 1)
+        lines = [f"device op time: {self.total_s / n * 1e3:.1f} ms/step "
+                 f"(over {n} steps)"]
+        lines.append(f"{'category':14s} {'ms/step':>9s} {'count/step':>11s}")
+        for c, (t, cnt) in sorted(self.by_category.items(), key=lambda kv: -kv[1][0]):
+            lines.append(f"{c:14s} {t / n * 1e3:9.2f} {cnt // n:11d}")
+        lines.append(f"top {top_k} op groups (ms/step):")
+        for t, cnt, name in self.top_ops[:top_k]:
+            lines.append(f"{t / n * 1e3:9.3f}  x{cnt // n:<5d} {name[:100]}")
+        return "\n".join(lines)
+
+
+def _find_xplane(trace_dir: str) -> str | None:
+    files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    if not files:
+        return None
+    return max(files, key=os.path.getmtime)
+
+
+def parse_trace(trace_dir: str, n_steps: int = 1) -> ProfileReport:
+    """Aggregate the newest xplane trace under ``trace_dir``.
+
+    Requires tensorflow (for the xplane proto schema); raises a
+    RuntimeError naming the missing piece otherwise.
+    """
+    path = _find_xplane(trace_dir)
+    if path is None:
+        raise RuntimeError(f"no *.xplane.pb found under {trace_dir}")
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    except Exception as e:  # pragma: no cover - env without tensorflow
+        raise RuntimeError(
+            "parsing xplane traces needs tensorflow's tsl.profiler protos "
+            f"(import failed: {e}); the raw trace is still at {path} and "
+            "can be opened in TensorBoard's profile plugin"
+        )
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    rep = ProfileReport(n_steps=n_steps)
+    cat = defaultdict(lambda: [0.0, 0])
+    ops = defaultdict(lambda: [0.0, 0])
+    for plane in xs.planes:
+        pn = plane.name.lower()
+        if "tpu" not in pn and "gpu" not in pn and "device" not in pn:
+            continue
+        if "host" in pn:
+            continue
+        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            # serialized op line only; 'Async XLA Ops' overlaps compute
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, "?")
+                dur = ev.duration_ps / 1e12
+                rep.total_s += dur
+                c = cat[op_category(name)]
+                c[0] += dur
+                c[1] += 1
+                base = re.sub(r"\.\d+$", "", name.split(" = ")[0])
+                o = ops[base]
+                o[0] += dur
+                o[1] += 1
+    rep.by_category = {k: (v[0], v[1]) for k, v in cat.items()}
+    rep.top_ops = sorted(((t, c, n) for n, (t, c) in ops.items()), reverse=True)
+    return rep
+
+
+def profile_step(step_fn, *args, trace_dir: str = "/tmp/diga_profile",
+                 n_steps: int = 3, warmup: int = 2) -> ProfileReport:
+    """Run ``step_fn(*args)`` under a profiler trace and return the report.
+
+    ``step_fn`` must be self-contained (e.g. a closure re-feeding its own
+    outputs); it is called ``warmup`` times uncaptured, then ``n_steps``
+    times inside one trace.
+    """
+    import jax
+
+    for _ in range(warmup):
+        out = step_fn(*args)
+    jax.block_until_ready(out)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(n_steps):
+            out = step_fn(*args)
+        jax.block_until_ready(out)
+    return parse_trace(trace_dir, n_steps=n_steps)
