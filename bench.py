@@ -41,8 +41,11 @@ CROP = (512, 896)
 BATCH = 3                         # reference effective batch (warm_up.py:80-82)
 NCLS = 19
 # batch 3 fits HBM without remat (measured); remat only needed for larger
-# per-chip batches
+# per-chip batches (True, a stage tuple like ("layer1","layer2"), or False)
 REMAT = False
+# stage-hoisted space-to-batch: fastest at the reference batch 3; costs
+# extra HBM, so large tuned batches (12) need S2B=False + REMAT=True
+S2B = True
 
 
 def build():
@@ -54,7 +57,7 @@ def build():
     from diga_tpu.train.steps import StepConfig, build_warmup_step
 
     rng = jax.random.PRNGKey(0)
-    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, remat=REMAT)
+    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, remat=REMAT, s2b=S2B)
 
     x = jnp.zeros((1, *CROP, 3), jnp.float32)
     variables = jax.jit(

@@ -73,7 +73,10 @@ class TrainConfig:
     seed: int = 0
     # mixed precision: params fp32, compute bf16; fp32 for strict parity runs
     compute_dtype: str = "bfloat16"
-    remat: bool = True
+    # True = remat every stage, False = none, or a tuple of stage names
+    # (DeepLab: "layer1".."layer4") for partial remat — see
+    # models/resnet_deeplab.py DeepLabV2.remat
+    remat: Any = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -291,9 +291,13 @@ class DeepLabV2(nn.Module):
     num_classes: int = 19
     layers: Sequence[int] = (3, 4, 23, 3)
     dtype: Dtype = jnp.float32
-    # rematerialize each stage in backward: trades ~30% more FLOPs for the
-    # activation memory of a 6-image 512x896 batch fitting a single chip
-    remat: bool = False
+    # rematerialize stages in backward: True = all four stages (max memory
+    # savings, ~30% extra FLOPs), or a tuple of stage names, e.g.
+    # ("layer1", "layer2") — the early stages carry the spatially largest
+    # activations but few FLOPs, so partial remat often fits HBM at a
+    # fraction of full remat's recompute cost (batch 6 @512x896 misses
+    # no-remat by ~260 MB on a 16 GB chip)
+    remat: bool | Sequence[str] = False
     # stage-hoisted space-to-batch for the dilated stages: exact same math
     # (ops/space_to_batch.py), but the inner convs become dense so XLA's
     # per-conv SpaceToBatchConverter (and its ~140 tiled-layout copies per
@@ -304,7 +308,14 @@ class DeepLabV2(nn.Module):
     def __call__(self, x, train: bool = False):
         from ..ops.space_to_batch import batch_to_space, space_to_batch
 
-        stage = nn.remat(ResNetStage, static_argnums=(2,)) if self.remat else ResNetStage
+        remat_stage = nn.remat(ResNetStage, static_argnums=(2,))
+
+        def stage(*args, name: str, **kw):
+            on = (self.remat is True
+                  or (not isinstance(self.remat, bool) and name in tuple(self.remat)))
+            cls = remat_stage if on else ResNetStage
+            return cls(*args, name=name, **kw)
+
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype,

@@ -241,10 +241,11 @@ def run_training(
 
         if save_every and save_path and i > 0 and i % save_every == 0:
             # periodic full-state checkpoint: crash recovery for 80k-step
-            # runs (the reference only saved on new-best mIoU)
+            # runs (the reference only saved on new-best mIoU); background
+            # write so the hot loop only pays the device->host snapshot
             from ..utils.checkpoint import save_train_state
 
-            save_train_state(save_path, state)
+            save_train_state(save_path, state, background=True)
 
         if eval_apply_fn is not None and cfg.train.eval_every > 0 and i > 0 and i % cfg.train.eval_every == 0:
             ev = TwoScaleEvaluator(
@@ -264,5 +265,9 @@ def run_training(
     src.stop()
     if tgt:
         tgt.stop()
+    if save_every and save_path:
+        from ..utils.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
     logger.close()
     return TrainLoopResult(best_miou, best_step, {k: float(v) for k, v in metrics.items()}), state

@@ -8,6 +8,11 @@ persists optimizer/step/centroid state — resume restarts the schedule
   * ``save_train_state``/``restore_train_state`` checkpoint the ENTIRE
     SegTrainState (params, EMA teacher, BN stats, optimizer momentum,
     step, RNG, centroids) with orbax, so resume is exact.
+  * ``background=True`` saves asynchronously (orbax AsyncCheckpointer):
+    the device->host snapshot happens inline but the disk write runs on
+    a background thread, so periodic ``--save_every`` checkpoints don't
+    stall the train loop on filesystem latency.  ``wait_for_checkpoints``
+    (or the next blocking save) joins outstanding writes.
   * ``export_role_keyed``/``load_role_keyed`` read/write the reference's
     .pth layout for artifact interop (stage chaining against
     reference-trained weights).
@@ -21,14 +26,36 @@ from typing import Any
 import jax
 import numpy as np
 
+_async_ckptr = None
 
-def save_train_state(path: str, state) -> None:
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def save_train_state(path: str, state, background: bool = False) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    if background:
+        ckptr = _get_async_checkpointer()
+        ckptr.save(path, args=ocp.args.StandardSave(host_state), force=True)
+        return
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
+    ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Join any outstanding background checkpoint writes."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore_train_state(path: str, template):
