@@ -14,7 +14,7 @@ import sys
 
 import numpy as np
 
-from .common import base_parser, get_config
+from .common import base_parser, get_config, make_mesh_from_args
 from ..train.build import build_experiment
 from ..eval.evaluator import TwoScaleEvaluator
 from ..data import bdd_dataset, cityscapes_dataset, mapillary_dataset
@@ -34,8 +34,14 @@ def main(argv=None):
                    help="role-keyed .pth dir (student.pth) to evaluate")
     p.add_argument("--datasets", type=str, default="cityscapes",
                    help="comma list: cityscapes,bdd,mapillary (DG eval)")
+    p.add_argument("--shard", type=str, default="batch",
+                   choices=["batch", "spatial"],
+                   help="with --n_devices: shard eval batches over the mesh, "
+                        "or shard the image HEIGHT ('spatial') for lowest "
+                        "single-image full-res latency (GSPMD conv halos)")
     args = p.parse_args(argv)
     cfg = get_config(args)
+    mesh = make_mesh_from_args(args)
 
     state, _, eval_apply, model = build_experiment(cfg, load_weight_dir=args.weight_dir)
 
@@ -59,7 +65,12 @@ def main(argv=None):
             raise ValueError(name)
         ev = TwoScaleEvaluator(lambda img: eval_apply(state, img),
                                num_classes=cfg.eval.num_classes,
-                               out_hw=tuple(spec["out_hw"]), ds_hw=tuple(spec["ds_hw"]))
+                               out_hw=tuple(spec["out_hw"]), ds_hw=tuple(spec["ds_hw"]),
+                               # this CLI iterates single-image batches, so a
+                               # mesh only helps in spatial mode (batch-sharded
+                               # eval runs inside the train loop's batched path)
+                               mesh=mesh if args.shard == "spatial" else None,
+                               shard=args.shard)
         scores, cls_iu = ev.run(iter_val(ds, args.eval_limit), progress=True)
         names = CLASS_NAMES_19 if cfg.eval.num_classes == 19 else CLASS_NAMES_16
         for i, cname in enumerate(names):

@@ -53,15 +53,23 @@ class TwoScaleEvaluator:
         out_hw: tuple[int, int] = (1024, 2048),
         ds_hw: tuple[int, int] = (512, 1024),
         mesh=None,
+        shard: str = "batch",
     ):
-        """``mesh``: optional data mesh — eval batches shard over devices
-        (pass batch size = a multiple of mesh size); the confusion matrix
-        stays replicated, its update all-reduces implicitly under GSPMD.
+        """``mesh``: optional mesh.  ``shard='batch'`` shards eval batches
+        over devices (batch size must divide by the mesh); ``'spatial'``
+        shards the HEIGHT axis instead — the low-latency mode for
+        single-image full-res inference, where GSPMD inserts conv halo
+        exchanges automatically (out_hw[0] must divide by the mesh).  The
+        confusion matrix stays replicated; its update all-reduces
+        implicitly under GSPMD.
         """
         self.num_classes = num_classes
         self.out_hw = out_hw
         self.ds_hw = ds_hw
         self.mesh = mesh
+        if shard not in ("batch", "spatial"):
+            raise ValueError(f"shard must be 'batch' or 'spatial', got {shard!r}")
+        self.shard = shard
         self.score = RunningScore(num_classes)
 
         def _step(conf, image, label):
@@ -70,13 +78,15 @@ class TwoScaleEvaluator:
             return confusion_update(conf, label, pred, num_classes), pred
 
         if mesh is not None:
-            from ..parallel import batch_sharding, replicated
+            from ..parallel import batch_sharding, replicated, spatial_sharding
 
+            data_sh = (batch_sharding(mesh) if shard == "batch"
+                       else spatial_sharding(mesh))
+            self._data_sharding = data_sh
             self._step = jax.jit(
                 _step,
-                in_shardings=(replicated(mesh), batch_sharding(mesh),
-                              batch_sharding(mesh)),
-                out_shardings=(replicated(mesh), batch_sharding(mesh)),
+                in_shardings=(replicated(mesh), data_sh, data_sh),
+                out_shardings=(replicated(mesh), data_sh),
             )
         else:
             self._step = jax.jit(_step)
@@ -85,10 +95,8 @@ class TwoScaleEvaluator:
         image = jnp.asarray(image)
         label = jnp.asarray(label)
         if self.mesh is not None:
-            from ..parallel import shard_batch
-
-            sharded = shard_batch({"i": image, "l": label}, self.mesh)
-            image, label = sharded["i"], sharded["l"]
+            image = jax.device_put(image, self._data_sharding)
+            label = jax.device_put(label, self._data_sharding)
         self.score.confusion, pred = self._step(self.score.confusion, image, label)
         return pred
 

@@ -1,1 +1,2 @@
-from .mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .mesh import (batch_sharding, make_mesh, replicated, shard_batch,
+                   spatial_sharding)

@@ -39,6 +39,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Height axis (NHWC dim 1) sharded over the mesh.
+
+    The CNN analogue of sequence parallelism (SURVEY.md §5.7): for
+    full-resolution 1024x2048 inference GSPMD inserts the halo exchanges
+    for every conv automatically, so one image's latency scales over the
+    mesh instead of only the batch dimension.  H must divide by the mesh
+    size (Cityscapes 1024 over <=8 devices does).
+    """
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

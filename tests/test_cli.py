@@ -108,6 +108,16 @@ class TestOfflineTools:
         assert "cityscapes" in results
         assert 0.0 <= results["cityscapes"]["mean_iou"] <= 1.0
 
+        # spatial-sharded eval (height over an 8-device mesh) must score
+        # identically to the unsharded run
+        results_sp = M.main([
+            "--preset", "tiny_eval", "--eval_limit", "1",
+            "--n_devices", "8", "--shard", "spatial",
+            *self._common_args(root, img_list, lbl_list, val_img, val_lbl),
+        ])
+        assert results_sp["cityscapes"]["mean_iou"] == pytest.approx(
+            results["cityscapes"]["mean_iou"])
+
 
 class TestTranslatorCLI:
     def test_translator_trains_and_exports(self, tmp_path, monkeypatch):

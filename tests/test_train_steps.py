@@ -191,3 +191,40 @@ class TestShardedEvaluator:
         assert scores["mean_iou"] == pytest.approx(1.0)
         # counts cover all 8 images' pixels exactly once
         assert int(np.asarray(ev.score.confusion).sum()) == 8 * 16 * 32
+
+
+class TestSpatialShardedEvaluator:
+    def test_spatial_matches_unsharded_real_model(self, eight_devices):
+        from diga_tpu.eval import TwoScaleEvaluator
+        from diga_tpu.models.resnet_deeplab import DeepLabV2
+        from diga_tpu.parallel import make_mesh
+
+        model = DeepLabV2(num_classes=5, layers=(1, 1, 1, 1))
+        k = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((1, 32, 64, 3), jnp.float32)
+        variables = jax.jit(
+            lambda: model.init({"params": k, "dropout": k}, x0, train=False))()
+
+        def apply_fn(img):
+            _, _, logits, _ = model.apply(variables, img, train=False)
+            return logits
+
+        rng = np.random.default_rng(0)
+        image = rng.normal(size=(1, 32, 64, 3)).astype(np.float32)
+        label = rng.integers(0, 5, size=(1, 32, 64)).astype(np.int32)
+        batch = {"image": image, "label": label}
+
+        ev_ref = TwoScaleEvaluator(apply_fn, num_classes=5, out_hw=(32, 64),
+                                   ds_hw=(16, 32))
+        ev_ref.update(image, label)
+
+        mesh = make_mesh(8)
+        # height 32 shards over 8 devices; conv halos + the matmul resizes
+        # reshard under GSPMD — results must match the unsharded run
+        ev_sp = TwoScaleEvaluator(apply_fn, num_classes=5, out_hw=(32, 64),
+                                  ds_hw=(16, 32), mesh=mesh, shard="spatial")
+        ev_sp.update(image, label)
+
+        np.testing.assert_array_equal(np.asarray(ev_ref.score.confusion),
+                                      np.asarray(ev_sp.score.confusion))
+        del batch
