@@ -36,12 +36,17 @@ def main(argv=None):
                    help="comma list: cityscapes,bdd,mapillary (DG eval)")
     p.add_argument("--shard", type=str, default="batch",
                    choices=["batch", "spatial"],
-                   help="with --n_devices: shard eval batches over the mesh, "
-                        "or shard the image HEIGHT ('spatial') for lowest "
-                        "single-image full-res latency (GSPMD conv halos)")
+                   help="'spatial' + --n_devices shards the image HEIGHT over "
+                        "the mesh for lowest single-image full-res latency "
+                        "(GSPMD conv halos).  'batch' runs unsharded here — "
+                        "this CLI iterates single-image batches; batch-sharded "
+                        "eval runs inside the train loop's batched val path")
     args = p.parse_args(argv)
     cfg = get_config(args)
     mesh = make_mesh_from_args(args)
+    if mesh is not None and args.shard == "batch":
+        print("note: --n_devices without --shard spatial has no effect in "
+              "this CLI (single-image batches); running unsharded")
 
     state, _, eval_apply, model = build_experiment(cfg, load_weight_dir=args.weight_dir)
 

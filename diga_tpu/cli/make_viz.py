@@ -71,9 +71,11 @@ def _load_image(root: str, rel: str, size_wh=None) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
-def _load_pred(pred_dir: str, rel: str, size_wh=None) -> np.ndarray:
+def _load_pred(pred_dir: str, rel: str, size_wh=None,
+               colors=CITYSCAPES_COLORS_19) -> np.ndarray:
     """TrainId map from a prediction dir; tries the exact basename first,
-    then the reference's pseudo-label naming (basename as-is, .png)."""
+    then the reference's pseudo-label naming (basename as-is, .png).
+    ``colors`` is the palette used to invert color-rendered predictions."""
     base = os.path.splitext(os.path.basename(rel))[0]
     for cand in (os.path.join(pred_dir, base + ".png"),
                  os.path.join(pred_dir, os.path.basename(rel))):
@@ -83,7 +85,7 @@ def _load_pred(pred_dir: str, rel: str, size_wh=None) -> np.ndarray:
                 img = img.resize(size_wh, Image.NEAREST)
             arr = np.asarray(img)
             if arr.ndim == 3:  # color render -> invert
-                return colormap_to_label(arr[..., :3], CITYSCAPES_COLORS_19)
+                return colormap_to_label(arr[..., :3], colors)
             return arr.astype(np.uint8)
     raise FileNotFoundError(f"no prediction for {rel} under {pred_dir}")
 
@@ -122,7 +124,7 @@ def run_figure(args) -> list[str]:
                                                      lbl_names[i])).resize(wh, Image.NEAREST))
             cols.append(_colorize(lbl, colors))
         for pd in args.pred_dirs:
-            pred = _load_pred(pd, rel, wh)
+            pred = _load_pred(pd, rel, wh, colors)
             rgb = _colorize(pred, colors)
             if args.edges:
                 rgb = rgb.copy()
@@ -147,7 +149,7 @@ def run_video(args) -> str:
     for rel in names:
         img = _load_image(args.img_root, rel, size)
         wh = (img.shape[1], img.shape[0])
-        pred = _load_pred(args.pred_dirs[0], rel, wh)
+        pred = _load_pred(args.pred_dirs[0], rel, wh, colors)
         rgb = _colorize(pred, colors)
         if args.mode == "blend":
             frame = blend_frame(img, rgb)

@@ -53,6 +53,10 @@ class BatchNorm2D(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
+        if mask is not None and n_valid is None:
+            # a masked call MUST say how many positions are valid; dividing
+            # by the padded count would silently shrink the statistics
+            raise ValueError("BatchNorm2D: mask requires n_valid")
         if train:
             from ..ops.stats import sums_and_squares
 

@@ -47,6 +47,9 @@ def save_train_state(path: str, state, background: bool = False) -> None:
         ckptr = _get_async_checkpointer()
         ckptr.save(path, args=ocp.args.StandardSave(host_state), force=True)
         return
+    # join any in-flight background save first so a blocking save to the
+    # same path can't race it (the docstring promises this)
+    wait_for_checkpoints()
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()

@@ -33,6 +33,9 @@ def op_category(op_name: str) -> str:
         return "fusion"
     if n.startswith("copy") or ".copy" in n or "copy-start" in n or "copy-done" in n:
         return "copy"
+    # convert before conv: "conv" is a substring of "convert"
+    if "bitcast" in n or "convert" in n:
+        return "convert"
     if "convolution" in n or "conv" in n:
         return "convolution"
     if "reshape" in n:
@@ -45,8 +48,6 @@ def op_category(op_name: str) -> str:
         return "collective"
     if "dynamic-update-slice" in n or "dynamic-slice" in n or "slice" in n:
         return "slice"
-    if "bitcast" in n or "convert" in n:
-        return "convert"
     return "other"
 
 
@@ -141,9 +142,11 @@ def profile_step(step_fn, *args, trace_dir: str = "/tmp/diga_profile",
     """
     import jax
 
+    out = None
     for _ in range(warmup):
         out = step_fn(*args)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     with jax.profiler.trace(trace_dir):
         for _ in range(n_steps):
             out = step_fn(*args)

@@ -13,6 +13,9 @@ def test_op_category_families():
     assert op_category("%reshape.1") == "reshape"
     assert op_category("%all-reduce.2") == "collective"
     assert op_category("%bitcast.9") == "convert"
+    # 'conv' is a substring of 'convert' — must not misclassify
+    assert op_category("%convert.12 = f32[4]") == "convert"
+    assert op_category("%convert_element_type.3") == "convert"
     assert op_category("%weird-op") == "other"
 
 
