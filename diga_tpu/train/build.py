@@ -8,6 +8,7 @@ train_DiGA_gta2city_self_training.py:34,165).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any
 
@@ -178,12 +179,20 @@ def build_experiment(
 
     rgb_input = cfg.extra.get("rgb_input", False)
 
+    # inference uses the dilated (non-hoisted) stages: space-to-batch is a
+    # TRAINING-shape win; at batch-1 full-res eval its subgrid batching +
+    # masked-BN bookkeeping cost ~60% (measured 98 vs 61 ms/img two-scale).
+    # Identical param/batch-stat trees either way, so the same state serves
+    # both (tests/test_space_to_batch.py pins the output equivalence).
+    eval_model = (dataclasses.replace(model, s2b=False)
+                  if hasattr(model, "s2b") else model)
+
     def eval_apply(state: SegTrainState, img):
         if rgb_input:
             # semiseg feeds RGB (BGR->RGB flip at model input,
             # semi-supervised_segmentation/evaluate_val.py:76)
             img = img[..., ::-1]
-        _, _, logits, _ = model.apply(
+        _, _, logits, _ = eval_model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             img, train=False,
         )
