@@ -81,13 +81,30 @@ def test_pseudo_png_roundtrip(st_cfg):
 
 
 def test_selftrain_harness_runs(st_cfg, tmp_path):
-    state, step, eval_apply, model = build_experiment(st_cfg)
-    result, state = run_training(
-        st_cfg, state, step, None,
-        work_dir=str(tmp_path / "work"), log_every=1,
+    # runs in a FRESH python (tests/_selftrain_sub.py): the selftrain-step
+    # XLA CPU compile intermittently balloons to >100 GB when issued late
+    # in a long pytest process; a fresh process compiles it in ~2 GB.
+    import subprocess
+    import sys
+
+    d = st_cfg.data
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=os.pathsep.join(
+                   p for p in (repo_root, os.environ.get("PYTHONPATH")) if p))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "_selftrain_sub.py"),
+         d.source_root, d.target_root, d.source_list, d.target_img_list,
+         d.target_lbl_list, d.val_img_list, d.val_lbl_list,
+         str(tmp_path / "work")],
+        capture_output=True, text=True, timeout=900, env=env,
     )
-    assert int(state.step) == 3
-    assert np.isfinite(result.last_metrics["loss"])
-    assert 0.0 <= result.last_metrics["consensus_kept"] <= 1.0
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT")][0]
+    vals = dict(kv.split("=") for kv in line.split()[1:])
+    assert int(vals["step"]) == 3
+    assert np.isfinite(float(vals["loss"]))
+    assert 0.0 <= float(vals["kept"]) <= 1.0
     # online centroid updates accumulated observations
-    assert float(np.asarray(state.centroids.counts).sum()) > 0
+    assert float(vals["counts"]) > 0
