@@ -46,6 +46,9 @@ REMAT = False
 # stage-hoisted space-to-batch: fastest at the reference batch 3; costs
 # extra HBM, so large tuned batches (12) need S2B=False + REMAT=True
 S2B = True
+# fused subpixel decoder up-blocks in the frozen translator (exact math,
+# ops/subpixel.py)
+SUBPIXEL_UP = True
 
 
 def build():
@@ -66,7 +69,7 @@ def build():
     opt = sgd_grouped(poly_schedule(2.5e-4, 80_000), head_param_mask(variables["params"]))
 
     enc = ImgEncoder(dtype=jnp.bfloat16)
-    dec = ImgDecoder(dtype=jnp.bfloat16)
+    dec = ImgDecoder(dtype=jnp.bfloat16, subpixel_up=SUBPIXEL_UP)
     small = jnp.zeros((1, 64, 128, 3), jnp.float32)
     enc_p = jax.jit(lambda: enc.init(rng, small)["params"])()
     dec_p = jax.jit(lambda: dec.init(rng, enc.apply({"params": enc_p}, small))["params"])()

@@ -133,14 +133,53 @@ class ImgEncoder(nn.Module):
         return x
 
 
+class _Conv5Params(nn.Module):
+    """5x5 conv params with nn.Conv's exact naming/init ('conv' child of a
+    SubpixelUpBlock gives the same kernel/bias tree as ConvBlock's)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 5, in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class SubpixelUpBlock(nn.Module):
+    """nearest-2x upsample + 5x5 reflect conv + IN + ReLU as the fused
+    subpixel form (ops/subpixel.py) — exact same math and the exact same
+    variable tree as [jnp.repeat -> ConvBlock(k=5, pad=2, norm='in')],
+    2.8x fewer MACs and no materialized upsampled tensor."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.subpixel import nearest_up2_conv5x5
+
+        kernel, bias = _Conv5Params(self.features, name="conv")(x.shape[-1])
+        y = nearest_up2_conv5x5(x.astype(self.dtype), kernel.astype(self.dtype),
+                                bias.astype(self.dtype))
+        y = instance_norm("norm", self.dtype)(y)
+        return nn.relu(y)
+
+
 class ImgDecoder(nn.Module):
-    """reference: model_noaux.py:100-117"""
+    """reference: model_noaux.py:100-117
+
+    ``subpixel_up`` selects the fused up-block (same params either way);
+    the unfused path is kept for A/B and as the numeric reference.
+    """
 
     dim: int = 256
     out_ch: int = 3
     n_upsample: int = 2
     n_res: int = 4
     dtype: Dtype = jnp.float32
+    subpixel_up: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -148,8 +187,11 @@ class ImgDecoder(nn.Module):
         for i in range(self.n_res):
             x = ResBlock(d, dtype=self.dtype, name=f"res{i}")(x)
         for i in range(self.n_upsample):
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-            x = ConvBlock(d // 2, 5, 1, 2, dtype=self.dtype, name=f"up{i}")(x)
+            if self.subpixel_up:
+                x = SubpixelUpBlock(d // 2, dtype=self.dtype, name=f"up{i}")(x)
+            else:
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+                x = ConvBlock(d // 2, 5, 1, 2, dtype=self.dtype, name=f"up{i}")(x)
             d //= 2
         return ConvBlock(self.out_ch, 7, 1, 3, norm="none", activation="tanh",
                          dtype=self.dtype, name="out")(x)
