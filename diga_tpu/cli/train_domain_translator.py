@@ -1,9 +1,10 @@
 """Train the CycleGAN-style image domain translator.
 
-Mirrors reference train_domain_translator.py.  Note a reference quirk we
-preserve: its LR-decay helper is called on empty optimizer lists
-(:157-163,210-212), so the translator actually trains at constant LR —
-we use a constant schedule and document it here.
+Mirrors reference train_domain_translator.py: six Adam(0.5, 0.999)
+optimizers at lr 1e-4, each poly-decayed (power 0.9) every iteration
+(reference :156-170 appends all six to enc/dec/dis opt lists, :210-214
+calls adjust_learning_rate on them each step), with 1 small + 1
+full-resize image per domain (:73-79,105-115,235-238).
 
 python -m diga_tpu.cli.train_domain_translator --preset gta2city_translator \
     --source_root ./data/GTA5 --target_root ./data/Cityscapes
@@ -46,7 +47,8 @@ def main(argv=None):
     enc_kw = dict(dim=ex("enc_dim", 64), n_downsample=ex("n_downsample", 2),
                   n_res=ex("n_res", 4), dtype=dtype)
     dec_kw = dict(dim=ex("dec_dim", 256), n_upsample=ex("n_downsample", 2),
-                  n_res=ex("n_res", 4), dtype=dtype)
+                  n_res=ex("n_res", 4), dtype=dtype,
+                  subpixel_up=ex("subpixel_up", True))
     dis_kw = dict(dim=ex("dis_dim", 64), n_layer=ex("dis_layers", 4),
                   num_scales=ex("dis_scales", 3), dtype=dtype)
     modules = {
@@ -71,8 +73,15 @@ def main(argv=None):
         vgg_params = vgg19_from_torch(load_torch_state_dict(args.vgg_weights))
         vgg_apply = lambda params, x: vgg.apply({"params": params}, x)
 
-    # reference: Adam(0.5, 0.999), lr 1e-4 constant (see module docstring)
-    opt = optax.adam(cfg.train.learning_rate, b1=0.5, b2=0.999)
+    # reference: Adam(0.5, 0.999), lr 1e-4 poly-decayed power 0.9 per iter
+    # (train_domain_translator.py:210-214 -> util/utils.py:36-41); one
+    # optax schedule per module optimizer state steps exactly once per
+    # iteration, so the schedule count == i_iter for all six.
+    from ..train.schedules import poly_schedule
+
+    steps_total = args.num_steps or cfg.train.num_steps
+    opt = optax.adam(poly_schedule(cfg.train.learning_rate, steps_total),
+                     b1=0.5, b2=0.999)
     state = create_translator_state(modules, opt, jax.random.PRNGKey(cfg.train.seed),
                                     cfg.train.crop_hw, vgg_params=vgg_params)
     step = jax.jit(build_translator_step(modules, opt, tcfg, vgg_apply),
@@ -81,7 +90,7 @@ def main(argv=None):
     it, src, tgt = make_train_iterator_translator(cfg)
     logger = MetricLogger(args.work_dir)
     weight_dir = os.path.join(args.work_dir, "weights")
-    steps = args.num_steps or cfg.train.num_steps
+    steps = steps_total
 
     for i in range(steps):
         batch = next(it)

@@ -155,10 +155,16 @@ _register(ExperimentConfig(
     name="gta2city_translator",
     stage="translator",
     data=DataConfig(
-        # translator trains on the small streams, batch 2+2
-        # (train_domain_translator.py:78-83,98-104)
-        source_streams=(LoaderSpec("gta5", (720, 1280), 2),),
-        target_streams=(LoaderSpec("cityscapes", (512, 1024), 2),),
+        # translator batches 1 small + 1 full-resize image per domain for
+        # scale diversity (train_domain_translator.py:73-79,105-115,235-238)
+        source_streams=(
+            LoaderSpec("gta5", (720, 1280), 1),
+            LoaderSpec("gta5", (1052, 1914), 1),
+        ),
+        target_streams=(
+            LoaderSpec("cityscapes", (512, 1024), 1),
+            LoaderSpec("cityscapes", (1024, 2048), 1),
+        ),
     ),
     train=TrainConfig(num_steps=50_000, learning_rate=1e-4),
     eval=EvalConfig(),
@@ -211,8 +217,15 @@ _register(ExperimentConfig(
     stage="translator",
     data=dataclasses.replace(
         _synthia_data(),
-        source_streams=(LoaderSpec("synthia", (720, 1280), 2),),
-        target_streams=(LoaderSpec("cityscapes", (512, 1024), 2),),
+        # 1 small + 1 full per domain (Synthia/train_domain_translator.py:73-79)
+        source_streams=(
+            LoaderSpec("synthia", (760, 1280), 1),
+            LoaderSpec("synthia", (1140, 1920), 1),
+        ),
+        target_streams=(
+            LoaderSpec("cityscapes", (512, 1024), 1),
+            LoaderSpec("cityscapes", (1024, 2048), 1),
+        ),
     ),
     train=TrainConfig(num_classes=16, num_steps=50_000, learning_rate=1e-4),
     eval=EvalConfig(num_classes=16),
