@@ -25,8 +25,11 @@ def main(argv=None, force_stage: str | None = None):
     p.add_argument("--centroid_path", type=str, default=None,
                    help="initial class centroids (self-training stage)")
     p.add_argument("--pretrained_backbone", type=str, default=None,
-                   help="ImageNet/Caffe ResNet-101 .pth for backbone init "
-                        "(reference seg_model_noaux.py:7)")
+                   help="backbone init .pth: the Caffe ResNet-101 "
+                        "(seg_model_noaux.py:7), a SimCLRv2/ProDA checkpoint "
+                        "(state_dict-wrapped, :336-347), or the ImageNet "
+                        "hrnetv2 file for semiseg presets "
+                        "(hrnet_module.py:564-594)")
     p.add_argument("--save_every", type=int, default=2000,
                    help="periodic full-state checkpoint interval (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -64,7 +67,8 @@ def main(argv=None, force_stage: str | None = None):
 
     def on_best(state, step_i, miou):
         export_state_role_keyed(state, weight_dir, layers=layers,
-                                model_kind=model_kind)
+                                model_kind=model_kind,
+                                hrnet_arch=cfg.extra.get("hrnet_arch", "w48"))
         save_train_state(os.path.join(args.work_dir, "ckpt_best"), state)
         print(f"saved best checkpoint at step {step_i} (mIoU {miou:.4f})")
 

@@ -45,6 +45,10 @@ def load_torch_state_dict(path: str) -> dict:
     sd = torch.load(path, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    # SimCLRv2/ProDA-style checkpoints wrap the weights in a 'state_dict'
+    # entry (reference seg_model_noaux.py:339 loads them for backbone init)
+    if isinstance(sd, dict) and "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
 

@@ -52,7 +52,14 @@ class _Builder:
         self._set(self.params, fpath + ("conv", "kernel"), _t_conv(sd[tkey_conv + ".weight"]))
         self._set(self.params, fpath + ("bn", "scale"), np.asarray(sd[tkey_bn + ".weight"]))
         self._set(self.params, fpath + ("bn", "bias"), np.asarray(sd[tkey_bn + ".bias"]))
-        self._set(self.stats, fpath + ("bn", "mean"), np.asarray(sd[tkey_bn + ".running_mean"]))
+        mean = np.asarray(sd[tkey_bn + ".running_mean"])
+        # a conv bias before eval-mode BN is equivalent to shifting the
+        # running mean: BN(conv+b) == BN'(conv) with mean' = mean - b.  The
+        # reference leaves default bias=True on two OCR convs
+        # (ocrnet_module.py:120-122,178-180); our ConvBN is bias-free.
+        if tkey_conv + ".bias" in sd:
+            mean = mean - np.asarray(sd[tkey_conv + ".bias"])
+        self._set(self.stats, fpath + ("bn", "mean"), mean)
         self._set(self.stats, fpath + ("bn", "var"), np.asarray(sd[tkey_bn + ".running_var"]))
 
     def conv(self, sd, tkey, fpath, bias=True):
@@ -136,6 +143,34 @@ def hrnet_ocr_from_torch(sd: dict, arch: dict = None) -> tuple[dict, dict]:
     return b.params, b.stats
 
 
+def hrnet_imagenet_init(params: dict, stats: dict, pretrained_sd: dict,
+                        arch: dict = None) -> tuple[dict, dict]:
+    """Initialize the HRNet backbone from the ImageNet hrnetv2 checkpoint.
+
+    The reference loads that checkpoint by POSITIONAL zip of state_dict
+    items, accepting each pair whose shapes match and raising otherwise
+    (hrnet_module.py:573-584); the ImageNet classifier head trails the
+    backbone keys so the zip truncates there.  We reproduce that: list our
+    backbone tensors in reference torch registration order (the order
+    hrnet_ocr_to_torch emits), pair them positionally with the checkpoint's
+    tensors (minus num_batches_tracked bookkeeping, absent on our side),
+    and rebuild the flax trees.  OCR-head params are left at their current
+    (random) values, as in the reference.
+    """
+    full = hrnet_ocr_to_torch(params, stats, arch)
+    back_keys = [k for k in full if k.startswith("hrnet.")]
+    pre_items = [(k, np.asarray(v)) for k, v in pretrained_sd.items()
+                 if "num_batches_tracked" not in k]
+    for ours, (pk, pv) in zip(back_keys, pre_items):
+        if tuple(full[ours].shape) != tuple(pv.shape):
+            raise RuntimeError(
+                f"hrnet ImageNet init: shape mismatch at {ours} <- {pk}: "
+                f"{tuple(full[ours].shape)} vs {tuple(pv.shape)} — "
+                "pretrained weights could not be correctly loaded")
+        full[ours] = pv
+    return hrnet_ocr_from_torch(full, arch)
+
+
 def hrnet_ocr_to_torch(params: dict, stats: dict, arch: dict = None) -> dict:
     """Export our flax HRNet+OCR to the reference SegModel naming."""
     a = arch or W48
@@ -202,6 +237,12 @@ def hrnet_ocr_to_torch(params: dict, stats: dict, arch: dict = None) -> dict:
                op["pixel_rep"], os_["pixel_rep"])
     put_convbn("ocrnet.soft_object_regions.0", "ocrnet.soft_object_regions.1",
                op["region_conv"], os_["region_conv"])
+    # these two reference convs carry (redundant, BN-absorbed) biases —
+    # emit zeros so the exported dict strict-loads into the reference model
+    sd["ocrnet.pixel_representations.0.bias"] = np.zeros(
+        op["pixel_rep"]["conv"]["kernel"].shape[-1], np.float32)
+    sd["ocrnet.soft_object_regions.0.bias"] = np.zeros(
+        op["region_conv"]["conv"]["kernel"].shape[-1], np.float32)
     sd["ocrnet.soft_object_regions.3.weight"] = _f_conv(op["region_cls"]["kernel"])
     sd["ocrnet.soft_object_regions.3.bias"] = np.asarray(op["region_cls"]["bias"])
     for tname, fname in (("pixel_rep", "query"), ("obj_reg_rep", "key")):

@@ -34,6 +34,7 @@ def make_model(cfg: ExperimentConfig):
         from ..models.hrnet_ocr import HRNetOCR
 
         return HRNetOCR(num_classes=cfg.train.num_classes, dtype=dtype,
+                        arch_name=cfg.extra.get("hrnet_arch", "w48"),
                         remat=cfg.train.remat)
     layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))  # tiny-depth for tests
     return DeepLabV2(num_classes=cfg.train.num_classes, dtype=dtype,
@@ -59,13 +60,18 @@ def make_step_config(cfg: ExperimentConfig) -> StepConfig:
         aux_weight=cfg.extra.get("aux_weight", 0.0),
         rgb_input=cfg.extra.get("rgb_input", False),
         use_crdomix=not cfg.extra.get("no_translator", False),
+        photometric=cfg.extra.get("photometric", "diga"),
     )
 
 
 def make_translator_modules(cfg: ExperimentConfig):
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     enc = ImgEncoder(dtype=dtype)
-    dec = ImgDecoder(dtype=dtype)
+    # subpixel up-conv is numerically exact vs the unfused path (same param
+    # tree; tests/test_translator_parity.py + test_subpixel.py) and ~2.8x
+    # fewer MACs in the decoder up-blocks — on by default everywhere
+    dec = ImgDecoder(dtype=dtype,
+                     subpixel_up=cfg.extra.get("subpixel_up", True))
 
     def translator_apply(frozen, img):
         z = enc.apply({"params": frozen["enc_s"]}, img)
@@ -138,13 +144,30 @@ def build_experiment(
     state = create_seg_state(model, opt, rng, cfg.train.crop_hw,
                              centroids=centroids, frozen=frozen)
 
-    # weight loading: pretrained backbone, or a previous stage's student
+    # weight loading: pretrained backbone, or a previous stage's student.
+    # Both paths are model-kind aware: hrnet presets go through the HRNet
+    # converters (semiseg stage chaining, ..._self_training.py:165), deeplab
+    # through the SegModel ones — and tiny test depths are honored.
+    model_kind = cfg.extra.get("model", "deeplab")
+    layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))
+    if model_kind == "hrnet_ocr":
+        from ..models.hrnet_ocr import W32, W48
+        from ..models import convert_hrnet
+
+        hrnet_arch = W48 if cfg.extra.get("hrnet_arch", "w48") == "w48" else W32
     if pretrained_backbone and os.path.exists(pretrained_backbone):
         sd = convert.load_torch_state_dict(pretrained_backbone)
-        p_bb, s_bb = convert.segmodel_from_torch(sd)
-        params, stats = convert.merge_pretrained_backbone(
-            jax.tree_util.tree_map(np.asarray, state.params),
-            jax.tree_util.tree_map(np.asarray, state.batch_stats), p_bb, s_bb)
+        if model_kind == "hrnet_ocr":
+            # ImageNet hrnetv2 positional-zip init (hrnet_module.py:564-594)
+            params, stats = convert_hrnet.hrnet_imagenet_init(
+                jax.tree_util.tree_map(np.asarray, state.params),
+                jax.tree_util.tree_map(np.asarray, state.batch_stats),
+                sd, hrnet_arch)
+        else:
+            p_bb, s_bb = convert.segmodel_from_torch(sd, layers)
+            params, stats = convert.merge_pretrained_backbone(
+                jax.tree_util.tree_map(np.asarray, state.params),
+                jax.tree_util.tree_map(np.asarray, state.batch_stats), p_bb, s_bb)
         state = state.replace(
             params=params, batch_stats=stats,
             teacher_params=jax.tree_util.tree_map(np.copy, params),
@@ -152,7 +175,10 @@ def build_experiment(
         )
     if load_weight_dir and os.path.exists(os.path.join(load_weight_dir, "student.pth")):
         sd = convert.load_torch_state_dict(os.path.join(load_weight_dir, "student.pth"))
-        p, s = convert.segmodel_from_torch(sd)
+        if model_kind == "hrnet_ocr":
+            p, s = convert_hrnet.hrnet_ocr_from_torch(sd, hrnet_arch)
+        else:
+            p, s = convert.segmodel_from_torch(sd, layers)
         state = state.replace(params=p, batch_stats=s,
                               teacher_params=jax.tree_util.tree_map(np.copy, p),
                               teacher_batch_stats=jax.tree_util.tree_map(np.copy, s))
@@ -209,7 +235,8 @@ def _load_centroids_torch(path: str):
 
 
 def export_state_role_keyed(state: SegTrainState, out_dir: str,
-                            layers=(3, 4, 23, 3), model_kind: str = "deeplab"):
+                            layers=(3, 4, 23, 3), model_kind: str = "deeplab",
+                            hrnet_arch: str = "w48"):
     """Write student/teacher .pth in the reference layout."""
     from ..utils.checkpoint import export_role_keyed
 
@@ -218,11 +245,13 @@ def export_state_role_keyed(state: SegTrainState, out_dir: str,
     tp = jax.tree_util.tree_map(np.asarray, state.teacher_params)
     ts = jax.tree_util.tree_map(np.asarray, state.teacher_batch_stats)
     if model_kind == "hrnet_ocr":
+        from ..models.hrnet_ocr import W32, W48
         from ..models.convert_hrnet import hrnet_ocr_to_torch
 
+        arch = W48 if hrnet_arch == "w48" else W32
         roles = {
-            "student": hrnet_ocr_to_torch(p, s),
-            "teacher": hrnet_ocr_to_torch(tp, ts),
+            "student": hrnet_ocr_to_torch(p, s, arch),
+            "teacher": hrnet_ocr_to_torch(tp, ts, arch),
         }
     else:
         roles = {
