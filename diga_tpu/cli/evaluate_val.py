@@ -10,7 +10,7 @@ Usage:
 
 from __future__ import annotations
 
-import sys
+import os
 
 import numpy as np
 
@@ -25,7 +25,8 @@ def iter_val(ds, limit=None):
     n = len(ds) if limit is None else min(limit, len(ds))
     for i in range(n):
         s = ds[i]
-        yield {"image": s["image"][None], "label": s["label"][None].astype(np.int32)}
+        yield {"image": s["image"][None], "label": s["label"][None].astype(np.int32),
+               "name": s["name"]}
 
 
 def main(argv=None):
@@ -34,6 +35,17 @@ def main(argv=None):
                    help="role-keyed .pth dir (student.pth) to evaluate")
     p.add_argument("--datasets", type=str, default="cityscapes",
                    help="comma list: cityscapes,bdd,mapillary (DG eval)")
+    # per-dataset roots/lists so one invocation covers the DG triple
+    # (domain_generalization/evaluate_val.py:71-130 hard-codes three val
+    # sets; cityscapes defaults to --target_root/--val_img_list/--val_lbl_list)
+    for d in ("cityscapes", "bdd", "mapillary"):
+        p.add_argument(f"--{d}_root", type=str, default=None)
+        p.add_argument(f"--{d}_img_list", type=str, default=None)
+        p.add_argument(f"--{d}_lbl_list", type=str, default=None)
+    p.add_argument("--dump_preds", type=str, default=None,
+                   help="directory to write per-image trainId prediction PNGs "
+                        "(readable by cli/make_viz); one subdir per dataset "
+                        "when evaluating several")
     p.add_argument("--shard", type=str, default="batch",
                    choices=["batch", "spatial"],
                    help="'spatial' + --n_devices shards the image HEIGHT over "
@@ -47,25 +59,30 @@ def main(argv=None):
     if mesh is not None and args.shard == "batch":
         print("note: --n_devices without --shard spatial has no effect in "
               "this CLI (single-image batches); running unsharded")
+    if mesh is None and args.shard == "spatial":
+        p.error("--shard spatial requires --n_devices (no mesh was built, "
+                "so the evaluator would silently run unsharded)")
 
     state, _, eval_apply, model = build_experiment(cfg, load_weight_dir=args.weight_dir)
 
     eval_sets = cfg.extra.get("eval_datasets", {
         "cityscapes": {"out_hw": cfg.eval.out_hw, "ds_hw": cfg.eval.ds_hw}
     })
+    dataset_names = args.datasets.split(",")
     results = {}
-    for name in args.datasets.split(","):
+    for name in dataset_names:
         spec = eval_sets[name]
+        root = getattr(args, f"{name}_root") or cfg.data.target_root
+        img_list = getattr(args, f"{name}_img_list") or cfg.data.val_img_list
+        lbl_list = getattr(args, f"{name}_lbl_list") or cfg.data.val_lbl_list
         if name == "cityscapes":
-            ds = cityscapes_dataset(cfg.data.target_root, cfg.data.val_img_list,
-                                    cfg.data.val_lbl_list, split="val",
+            ds = cityscapes_dataset(root, img_list, lbl_list, split="val",
                                     resize_hw=spec["out_hw"])
         elif name == "bdd":
-            ds = bdd_dataset(cfg.data.target_root, cfg.data.val_img_list,
-                             cfg.data.val_lbl_list, resize_hw=spec["out_hw"])
+            ds = bdd_dataset(root, img_list, lbl_list, resize_hw=spec["out_hw"])
         elif name == "mapillary":
-            ds = mapillary_dataset(cfg.data.target_root, cfg.data.val_img_list,
-                                   cfg.data.val_lbl_list, resize_hw=spec["out_hw"])
+            ds = mapillary_dataset(root, img_list, lbl_list,
+                                   resize_hw=spec["out_hw"])
         else:
             raise ValueError(name)
         ev = TwoScaleEvaluator(lambda img: eval_apply(state, img),
@@ -76,7 +93,22 @@ def main(argv=None):
                                # eval runs inside the train loop's batched path)
                                mesh=mesh if args.shard == "spatial" else None,
                                shard=args.shard)
-        scores, cls_iu = ev.run(iter_val(ds, args.eval_limit), progress=True)
+        dump_dir = None
+        if args.dump_preds:
+            dump_dir = (args.dump_preds if len(dataset_names) == 1
+                        else os.path.join(args.dump_preds, name))
+            os.makedirs(dump_dir, exist_ok=True)
+        for i, batch in enumerate(iter_val(ds, args.eval_limit)):
+            pred = ev.update(batch["image"], batch["label"])
+            if dump_dir is not None:
+                from PIL import Image
+
+                base = os.path.splitext(os.path.basename(batch["name"]))[0]
+                Image.fromarray(np.asarray(pred[0], np.uint8)).save(
+                    os.path.join(dump_dir, base + ".png"))
+            if i % 50 == 0:
+                print(f"eval: {i} batches processed", flush=True)
+        scores, cls_iu = ev.score.get_scores()
         names = CLASS_NAMES_19 if cfg.eval.num_classes == 19 else CLASS_NAMES_16
         for i, cname in enumerate(names):
             print(f"===>{cname}: {cls_iu[i]}")

@@ -111,6 +111,11 @@ def blend_frame(img: np.ndarray, pred_rgb: np.ndarray, alpha: float = 0.55) -> n
 def run_figure(args) -> list[str]:
     names = _read_lines(args.img_list)[: args.limit or None]
     lbl_names = _read_lines(args.lbl_list)[: args.limit or None] if args.lbl_list else None
+    if lbl_names is not None and len(lbl_names) != len(names):
+        raise ValueError(
+            f"--lbl_list has {len(lbl_names)} entries but --img_list has "
+            f"{len(names)}: the lists pair positionally, so unequal lengths "
+            "would mispair (or crash on) labels")
     colors = SYNTHIA_COLORS_16 if args.num_classes == 16 else CITYSCAPES_COLORS_19
     os.makedirs(args.out_dir, exist_ok=True)
     written = []

@@ -231,3 +231,65 @@ class TestMakeLists:
         assert len(train) == 3
         assert len(val_lbl) == 2
         assert val_lbl[0].endswith("_gtFine_labelIds.png")
+
+
+class TestDGEvalCLI:
+    def test_one_invocation_dg_eval_all_three(self, tmp_path, monkeypatch):
+        """VERDICT r1 #7: --datasets cityscapes,bdd,mapillary in ONE run with
+        per-dataset roots/lists (domain_generalization/evaluate_val.py:71-130),
+        plus --dump_preds writing trainId PNGs make_viz can read."""
+        import dataclasses
+
+        from diga_tpu.data import synthetic
+        import diga_tpu.cli.evaluate_val as M
+        from diga_tpu.configs import presets
+
+        city_root = str(tmp_path / "city")
+        val_img, val_lbl = synthetic.make_cityscapes_fixture(
+            city_root, n=1, h=40, w=72, split="val")
+        bdd_root = str(tmp_path / "bdd")
+        bdd_img, bdd_lbl = synthetic.make_flat_fixture(
+            bdd_root, n=1, h=36, w=64, trainid_labels=True)
+        map_root = str(tmp_path / "map")
+        map_img, map_lbl = synthetic.make_flat_fixture(
+            map_root, n=1, h=54, w=96, max_label=66)
+
+        p0 = presets.get_preset("dg_gta5")
+        tiny = dataclasses.replace(
+            p0,
+            train=dataclasses.replace(p0.train, crop_hw=(32, 64),
+                                      compute_dtype="float32", remat=False),
+            extra={
+                "layers": (1, 1, 1, 1),
+                "eval_datasets": {
+                    "cityscapes": {"out_hw": (40, 72), "ds_hw": (20, 36)},
+                    "bdd": {"out_hw": (36, 64), "ds_hw": (18, 32)},
+                    "mapillary": {"out_hw": (54, 96), "ds_hw": (27, 48)},
+                },
+            },
+        )
+        monkeypatch.setitem(presets.PRESETS, "tiny_dg_eval", tiny)
+
+        dump = str(tmp_path / "preds")
+        results = M.main([
+            "--preset", "tiny_dg_eval", "--eval_limit", "1",
+            "--datasets", "cityscapes,bdd,mapillary",
+            "--dump_preds", dump,
+            "--target_root", city_root,
+            "--val_img_list", val_img, "--val_lbl_list", val_lbl,
+            "--bdd_root", bdd_root,
+            "--bdd_img_list", bdd_img, "--bdd_lbl_list", bdd_lbl,
+            "--mapillary_root", map_root,
+            "--mapillary_img_list", map_img, "--mapillary_lbl_list", map_lbl,
+        ])
+        assert set(results) == {"cityscapes", "bdd", "mapillary"}
+        for name, scores in results.items():
+            assert 0.0 <= scores["mean_iou"] <= 1.0
+        # dumped predictions: one subdir per dataset, trainId PNGs
+        from PIL import Image
+
+        for name in ("cityscapes", "bdd", "mapillary"):
+            files = os.listdir(os.path.join(dump, name))
+            assert len(files) == 1
+            arr = np.array(Image.open(os.path.join(dump, name, files[0])))
+            assert arr.max() < 19 or arr.max() == 255
