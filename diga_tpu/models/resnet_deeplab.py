@@ -310,6 +310,15 @@ class DeepLabV2(nn.Module):
 
         remat_stage = nn.remat(ResNetStage, static_argnums=(2,))
 
+        if not isinstance(self.remat, bool):
+            valid = {"layer1", "layer2", "layer3", "layer4"}
+            unknown = set(self.remat) - valid
+            if unknown:
+                raise ValueError(
+                    f"remat={self.remat!r} names unknown stages {sorted(unknown)} "
+                    f"(valid: {sorted(valid)}) — a typo here would silently "
+                    "disable remat and surface only as an OOM later")
+
         def stage(*args, name: str, **kw):
             on = (self.remat is True
                   or (not isinstance(self.remat, bool) and name in tuple(self.remat)))

@@ -163,12 +163,102 @@ def photometric_chain(
     return x
 
 
-def diga_photometric(x_norm: jnp.ndarray, rng: jax.Array, beta: float) -> jnp.ndarray:
+def kornia_photometric_chain(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """Reference-faithful variant: the kornia-0.5.8 chain applied DIRECTLY
+    to model-normalized tensors, like the reference does (warm_up.py:105-111
+    feeds ``sdatav`` — BGR, (raw-mean)/128, range ~[-2, 1.2] — straight
+    into kornia ops that assume unit-range RGB).
+
+    Reconstructed kornia 0.5.8 semantics (kornia/enhance/adjust.py +
+    augmentation generators; kornia itself is not installable here):
+      * ColorJitter(0.4, 0.4, 0.2, 0.1, p=.5): per-forward RANDOM ORDER of
+        the four jitters; brightness ADDITIVE f~U(-.4,.4) then clamp[0,1];
+        contrast multiplicative f~U(.6,1.4) then clamp[0,1]; saturation /
+        hue via HSV on the channel order AS GIVEN (i.e. kornia's "R" is
+        this pipeline's B — the reference never flips), no clamp.
+      * RandomGrayscale(p=.3): (.299,.587,.114) dotted with the (BGR!)
+        channels as given.
+      * RandomGaussianBlur((3,3),(2,2),p=.8): reflect border, no clamp.
+      * RandomSharpness(.5, p=.3): PIL-style — degenerate = 3x3
+        [[1,1,1],[1,5,1],[1,1,1]]/13 conv, interior pixels blended
+        out = x + f*(x - degenerate), f~U(0,.5), border rows/cols kept.
+    The clamps to [0,1] on a ~[-2,1.2]-range input are exactly the
+    off-distribution behavior ops/photometric.py's default avoids; this
+    variant exists to reproduce the reference bit-for-bit in spirit for
+    parity runs (StepConfig.photometric='kornia').
+    """
+    b = x.shape[0]
+    keys = jax.random.split(rng, 12)
+
+    bf = jax.random.uniform(keys[1], (b, 1, 1, 1), minval=-0.4, maxval=0.4)
+    cf = jax.random.uniform(keys[2], (b, 1, 1, 1), minval=0.6, maxval=1.4)
+    sf = jax.random.uniform(keys[3], (b, 1, 1, 1), minval=0.8, maxval=1.2)
+    hf = jax.random.uniform(keys[4], (b, 1, 1, 1), minval=-0.1, maxval=0.1)
+
+    def j_brightness(v):
+        return jnp.clip(v + bf, 0.0, 1.0)
+
+    def j_contrast(v):
+        return jnp.clip(v * cf, 0.0, 1.0)
+
+    def j_saturation(v):
+        hsv = _rgb_to_hsv(v)
+        hsv = hsv.at[..., 1].set(hsv[..., 1] * sf[..., 0])
+        return _hsv_to_rgb(hsv)
+
+    def j_hue(v):
+        hsv = _rgb_to_hsv(v)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + hf[..., 0]) % 1.0)
+        return _hsv_to_rgb(hsv)
+
+    # random order of the four jitters, shared across the batch (kornia
+    # samples one torch.randperm(4) per forward)
+    order = jax.random.permutation(keys[0], 4)
+    xj = x
+    for slot in range(4):
+        xj = jax.lax.switch(order[slot],
+                            [j_brightness, j_contrast, j_saturation, j_hue], xj)
+    x = jnp.where(_per_image(0.5, keys[5], b), xj, x)
+
+    # grayscale with RGB weights on the as-given (BGR) channels
+    w_as_given = jnp.asarray([0.299, 0.587, 0.114])
+    gray3 = jnp.sum(x * w_as_given, axis=-1, keepdims=True) * jnp.ones_like(x)
+    x = jnp.where(_per_image(0.3, keys[6], b), gray3, x)
+
+    x = jnp.where(_per_image(0.8, keys[7], b), gaussian_blur(x, 3, 2.0), x)
+
+    # PIL-style sharpness, border preserved
+    factor = jax.random.uniform(keys[9], (b, 1, 1, 1), minval=0.0, maxval=0.5)
+    k_sharp = jnp.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+    c = x.shape[-1]
+    kern = jnp.zeros((3, 3, 1, c), x.dtype).at[:, :, 0, :].set(k_sharp[..., None])
+    degenerate = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    sharp = x + factor * (x - degenerate)
+    interior = jnp.zeros(x.shape[1:3], bool).at[1:-1, 1:-1].set(True)
+    sharp = jnp.where(interior[None, :, :, None], sharp, x)
+    x = jnp.where(_per_image(0.3, keys[8], b), sharp, x)
+    return x
+
+
+def diga_photometric(x_norm: jnp.ndarray, rng: jax.Array, beta: float,
+                     variant: str = "diga") -> jnp.ndarray:
     """Full reference behavior: blend the augmented view at strength beta.
 
     reference: sdatav_aug = beta * norm(extra_aug(x)) + (1-beta) * x
-    (train_DiGA_gta2city_warm_up.py:233, beta 0.4 warm-up / 0.3 ST).
+    (train_DiGA_gta2city_warm_up.py:233, beta 0.4 warm-up / 0.3 ST), with
+    norm = (v - 0.5) / 0.5 (utils.py:142-156, mean=std=0.5).
+
+    ``variant='diga'`` (default): well-defined-space chain — de-normalize
+    to unit BGR, augment, re-normalize to model space (the documented
+    deviation).  ``variant='kornia'``: the reference-faithful chain on the
+    normalized tensor itself, including the trailing 2x-1 "norm".
     """
-    unit = jnp.clip(to_unit(x_norm.astype(jnp.float32)), 0.0, 1.0)
+    x32 = x_norm.astype(jnp.float32)
+    if variant == "kornia":
+        aug = kornia_photometric_chain(x32, rng)
+        return beta * (2.0 * aug - 1.0) + (1.0 - beta) * x32
+    unit = jnp.clip(to_unit(x32), 0.0, 1.0)
     aug = photometric_chain(unit, rng)
-    return beta * to_model(aug) + (1.0 - beta) * x_norm.astype(jnp.float32)
+    return beta * to_model(aug) + (1.0 - beta) * x32

@@ -54,6 +54,10 @@ class StepConfig:
     # fused Pallas distillation kernel (ops/pallas_kernels.py): identical
     # numerics, recompute-based VJP avoids softmax residual traffic
     use_pallas_distill: bool = False
+    # 'diga' = well-defined-space chain (documented deviation);
+    # 'kornia' = reference-faithful kornia-0.5.8 chain on normalized
+    # tensors incl. the trailing 2x-1 norm (ops/photometric.py)
+    photometric: str = "diga"
 
 
 def _seg_loss_fn(cfg: StepConfig) -> Callable:
@@ -104,7 +108,7 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
             state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
         )
 
-        s_aug = diga_photometric(s_img, k_aug, cfg.beta)
+        s_aug = diga_photometric(s_img, k_aug, cfg.beta, cfg.photometric)
         s_cat = jnp.concatenate([s_img, s_aug], axis=0)
 
         # teacher forward (train-mode BN + dropout, like the reference's
@@ -173,7 +177,7 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
             state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
         )
 
-        s_aug = diga_photometric(s_img, k_aug, cfg.beta)
+        s_aug = diga_photometric(s_img, k_aug, cfg.beta, cfg.photometric)
         rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
         s_crdomix = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix, cfg.num_classes)
         s_cat = jnp.concatenate([s_img, s_crdomix], axis=0)
@@ -245,8 +249,8 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
             state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
         )
 
-        s_aug = diga_photometric(s_img, k_aug_s, cfg.beta)
-        t_aug = diga_photometric(t_img, k_aug_t, cfg.beta)
+        s_aug = diga_photometric(s_img, k_aug_s, cfg.beta, cfg.photometric)
+        t_aug = diga_photometric(t_img, k_aug_t, cfg.beta, cfg.photometric)
         if cfg.use_crdomix:
             rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
             s_view2 = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix1, cfg.num_classes)

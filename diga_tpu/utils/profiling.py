@@ -66,10 +66,10 @@ class ProfileReport:
                  f"(over {n} steps)"]
         lines.append(f"{'category':14s} {'ms/step':>9s} {'count/step':>11s}")
         for c, (t, cnt) in sorted(self.by_category.items(), key=lambda kv: -kv[1][0]):
-            lines.append(f"{c:14s} {t / n * 1e3:9.2f} {cnt // n:11d}")
+            lines.append(f"{c:14s} {t / n * 1e3:9.2f} {cnt / n:11.1f}")
         lines.append(f"top {top_k} op groups (ms/step):")
         for t, cnt, name in self.top_ops[:top_k]:
-            lines.append(f"{t / n * 1e3:9.3f}  x{cnt // n:<5d} {name[:100]}")
+            lines.append(f"{t / n * 1e3:9.3f}  x{cnt / n:<7.1f} {name[:100]}")
         return "\n".join(lines)
 
 
@@ -96,7 +96,7 @@ def parse_trace(trace_dir: str, n_steps: int = 1) -> ProfileReport:
             "parsing xplane traces needs tensorflow's tsl.profiler protos "
             f"(import failed: {e}); the raw trace is still at {path} and "
             "can be opened in TensorBoard's profile plugin"
-        )
+        ) from e
 
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as f:
@@ -152,3 +152,101 @@ def profile_step(step_fn, *args, trace_dir: str = "/tmp/diga_profile",
             out = step_fn(*args)
         jax.block_until_ready(out)
     return parse_trace(trace_dir, n_steps=n_steps)
+
+
+# --------------------------------------------------------------------------
+# Component attribution: join HLO metadata op paths with the trace
+# (the round-1 `_prof_attrib.py` method, promoted; NOTES_r1.md records the
+# numbers it produced: model fwd/bwd, translator, optimizer/EMA splits)
+# --------------------------------------------------------------------------
+
+def dump_compiled_hlo(jitted_fn, out_path: str, *args, **kwargs) -> str:
+    """Compile ``jitted_fn(*args)`` and write its optimized HLO text."""
+    txt = jitted_fn.lower(*args, **kwargs).compile().as_text()
+    with open(out_path, "w") as f:
+        f.write(txt)
+    return out_path
+
+
+def load_hlo_op_paths(hlo_path: str) -> dict:
+    """HLO instruction name -> jax metadata op_name path."""
+    meta = {}
+    pat = re.compile(r"^\s*(%?\S+) = .*metadata=\{op_name=\"([^\"]*)\"")
+    with open(hlo_path) as f:
+        for line in f:
+            m = pat.match(line)
+            if m:
+                meta[m.group(1).lstrip("%")] = m.group(2)
+    return meta
+
+
+def default_component(op_path: str) -> str:
+    """Map a jax op_name path to a coarse model component."""
+    p = op_path
+    grad = "transpose(" in p
+    if "ImgEncoder" in p or "ImgDecoder" in p:
+        return "translator_fwd"
+    if "DeepLabV2" in p or "HRNet" in p:
+        # teacher vs student share module paths; transpose ops = backward
+        return "model_bwd" if grad else "model_fwd"
+    for key in ("sgd", "ema", "add_decayed", "trace_update", "apply_updates",
+                "scale_by", "masked", "/update/"):
+        if key in p:
+            return "optimizer_ema"
+    if "photometric" in p or "crdomix" in p or "hsv" in p:
+        return "aug_mix"
+    if ("distill" in p or "cross_entropy" in p or "log_softmax" in p
+            or "resize" in p):
+        return "loss_resize"
+    return "misc"
+
+
+def attribute_trace(trace_dir: str, hlo_path: str, n_steps: int = 1,
+                    component_fn=None) -> dict:
+    """Per-component device seconds/step from a trace + compiled HLO.
+
+    Returns {"total": s, "components": {name: s}, "unmatched": s}; also
+    usable on CPU traces (plane name matching falls back to any plane
+    with an 'XLA Ops' line).
+    """
+    component_fn = component_fn or default_component
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    except Exception as e:  # pragma: no cover - env without tensorflow
+        raise RuntimeError(
+            "attribute_trace needs tensorflow's tsl.profiler protos "
+            f"(import failed: {e})") from e
+
+    meta = load_hlo_op_paths(hlo_path)
+    path = _find_xplane(trace_dir)
+    if path is None:
+        raise RuntimeError(f"no *.xplane.pb found under {trace_dir}")
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    comp: dict = defaultdict(float)
+    unmatched = 0.0
+    total = 0.0
+    for plane in xs.planes:
+        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, "?")
+                inst = name.split(" = ")[0].strip().lstrip("%")
+                dur = ev.duration_ps / 1e12
+                total += dur
+                op_path = meta.get(inst)
+                if op_path is None:
+                    unmatched += dur
+                else:
+                    comp[component_fn(op_path)] += dur
+    n = max(n_steps, 1)
+    return {
+        "total": total / n,
+        "components": {k: v / n for k, v in
+                       sorted(comp.items(), key=lambda kv: -kv[1])},
+        "unmatched": unmatched / n,
+    }

@@ -1,0 +1,58 @@
+"""2-process jax.distributed smoke (VERDICT r1 #8: multi-host claim).
+
+Launches two fresh python processes that initialize the distributed
+runtime over a localhost coordinator, build ONE global 4-device mesh
+(2 procs x 2 virtual CPU devices), and run a jitted data-parallel step
+whose gradient all-reduce crosses the process boundary.  Mirrors the
+multi-host recipe documented in parallel/mesh.py.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_step():
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ,
+               PYTHONPATH=os.pathsep.join(
+                   p for p in (repo_root, os.environ.get("PYTHONPATH")) if p))
+    script = os.path.join(os.path.dirname(__file__), "_multihost_sub.py")
+    procs = [
+        subprocess.Popen([sys.executable, script, coord, "2", str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed smoke timed out")
+        assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
+        outs.append(out)
+
+    losses = []
+    for out in outs:
+        m = re.search(r"RESULT loss=(\S+) n_global=(\d+) n_local=(\d+)", out)
+        assert m, out
+        assert int(m.group(2)) == 4 and int(m.group(3)) == 2
+        losses.append(float(m.group(1)))
+    # both processes computed the same GLOBAL loss (all-reduce crossed procs)
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)

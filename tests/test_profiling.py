@@ -71,3 +71,39 @@ def test_profile_step_capture(tmp_path):
         pytest.skip(f"trace parse unavailable here: {e}")
     assert isinstance(rep, ProfileReport)
     assert rep.render()  # does not crash
+
+
+def test_attribute_trace_synthetic(tmp_path):
+    tf = pytest.importorskip("tensorflow.tsl.profiler.protobuf.xplane_pb2")
+    from diga_tpu.utils.profiling import attribute_trace, load_hlo_op_paths
+
+    hlo = tmp_path / "step.hlo.txt"
+    hlo.write_text(
+        '  %fusion.7 = f32[4] fusion(...), metadata={op_name="jit(step)/DeepLabV2/layer3/conv"}\n'
+        '  %fusion.8 = f32[4] fusion(...), metadata={op_name="jit(step)/transpose(jvp(DeepLabV2))/layer3/conv"}\n'
+        '  %copy.3 = f32[4] copy(...), metadata={op_name="jit(step)/ImgEncoder/stem/conv"}\n'
+    )
+    meta = load_hlo_op_paths(str(hlo))
+    assert meta["fusion.7"].endswith("layer3/conv")
+
+    xs = tf.XSpace()
+    plane = xs.planes.add(name="/device:TPU:0")
+    for i, name in ((1, "%fusion.7 = f32[4]"), (2, "%fusion.8 = f32[4]"),
+                    (3, "%copy.3 = f32[4]"), (4, "%unknown.1 = f32[4]")):
+        plane.event_metadata[i].id = i
+        plane.event_metadata[i].name = name
+    line = plane.lines.add(name="XLA Ops")
+    line.events.add(metadata_id=1, duration_ps=int(2e9))   # fwd 2ms
+    line.events.add(metadata_id=2, duration_ps=int(4e9))   # bwd 4ms
+    line.events.add(metadata_id=3, duration_ps=int(1e9))   # translator 1ms
+    line.events.add(metadata_id=4, duration_ps=int(5e8))   # unmatched .5ms
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    (d / "vm.xplane.pb").write_bytes(xs.SerializeToString())
+
+    out = attribute_trace(str(tmp_path), str(hlo), n_steps=1)
+    assert abs(out["components"]["model_fwd"] - 2e-3) < 1e-9
+    assert abs(out["components"]["model_bwd"] - 4e-3) < 1e-9
+    assert abs(out["components"]["translator_fwd"] - 1e-3) < 1e-9
+    assert abs(out["unmatched"] - 5e-4) < 1e-9
+    assert abs(out["total"] - 7.5e-3) < 1e-9
