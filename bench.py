@@ -1,25 +1,26 @@
-"""Benchmark: GTA5->Cityscapes warm-up train step, reference configuration.
+"""Benchmark: DiGA-TPU train-step throughput, reference configurations.
 
-Measures sustained source-images/sec of the flagship DiGA warm-up step
-(DeepLabv2-ResNet101 student+teacher, crop 512x896, batch 3 source images
-doubled into clean+CrDoMix views, frozen translator apply, grouped SGD)
-on the available accelerator.
+Default (what the round driver runs): the flagship GTA5->Cityscapes
+warm-up step (DeepLabv2-ResNet101 student+teacher, crop 512x896, batch 3
+source images doubled into clean+CrDoMix views, frozen translator apply,
+grouped SGD) — ONE JSON line.
 
-Baseline: the reference repo publishes no numbers (BASELINE.md).  The
-comparison constant below is an engineering estimate of the reference
+`python bench.py --stage {warmup,selftrain,translator,semiseg,dg,all}`
+benches other pipeline stages (one JSON line each, same schema).
+
+Baseline honesty: the reference repo publishes NO numbers (BASELINE.md).
+The comparison constant is an engineering ESTIMATE of the reference
 PyTorch script on its stated RTX 8000 dev GPU: ~17.5 TFLOPs/step at ~40%
 fp32 utilization plus its per-step host syncs => ~2.5 source imgs/sec.
-
-BASELINE.json's north star: the full pipeline on a TPU v4-8 (4 chips,
-data-parallel) at >=3x RTX-8000 throughput, i.e. 3*2.5 = 7.5 imgs/sec
-aggregate = 1.875 imgs/sec PER CHIP.  This bench runs on the single
-available chip, so:  vs_baseline = measured_per_chip / 1.875.
-
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+BASELINE.json's north star: >=3x RTX-8000 throughput on a v4-8 (4
+chips), i.e. 7.5 imgs/sec aggregate = 1.875 imgs/sec PER CHIP.  This
+bench runs on one chip: vs_baseline = measured_per_chip / 1.875, and
+every output line carries an `estimated_baseline` block saying so.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -32,10 +33,17 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-REF_RTX8000_IMGS_PER_SEC = 2.5   # estimated reference throughput (see above)
+REF_RTX8000_IMGS_PER_SEC = 2.5   # ESTIMATED reference throughput (see above)
 TARGET_MULT = 3.0                 # BASELINE.json: >=3x reference
 TARGET_CHIPS = 4                  # v4-8 = 4 chips
 PER_CHIP_TARGET = TARGET_MULT * REF_RTX8000_IMGS_PER_SEC / TARGET_CHIPS
+
+BASELINE_NOTE = {
+    "per_chip_target_imgs_per_sec": PER_CHIP_TARGET,
+    "estimated": True,
+    "basis": "engineering estimate of the reference on RTX 8000 "
+             "(reference publishes no benchmark numbers)",
+}
 
 CROP = (512, 896)
 BATCH = 3                         # reference effective batch (warm_up.py:80-82)
@@ -46,12 +54,37 @@ REMAT = False
 # stage-hoisted space-to-batch: fastest at the reference batch 3; costs
 # extra HBM, so large tuned batches (12) need S2B=False + REMAT=True
 S2B = True
-# fused subpixel decoder up-blocks in the frozen translator (exact math,
-# ops/subpixel.py)
-SUBPIXEL_UP = True
+N_IT = 10
 
 
-def build():
+def _emit(metric, imgs_per_sec, extra=None):
+    line = {
+        "metric": metric,
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / PER_CHIP_TARGET, 3),
+        "estimated_baseline": BASELINE_NOTE,
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _time_loop(step, state, batch):
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    float(jnp.asarray(metrics["loss"] if "loss" in metrics
+                      else list(metrics.values())[0], jnp.float32))
+    t0 = time.perf_counter()
+    for _ in range(N_IT):
+        state, metrics = step(state, batch)
+    float(jnp.asarray(metrics["loss"] if "loss" in metrics
+                      else list(metrics.values())[0], jnp.float32))
+    return (time.perf_counter() - t0) / N_IT
+
+
+def build_warmup():
+    """Hand-built flagship step (identical to the round-1 bench program)."""
     from diga_tpu.models.resnet_deeplab import DeepLabV2, head_param_mask
     from diga_tpu.models.translator import ImgDecoder, ImgEncoder
     from diga_tpu.train.optim import sgd_grouped
@@ -69,7 +102,7 @@ def build():
     opt = sgd_grouped(poly_schedule(2.5e-4, 80_000), head_param_mask(variables["params"]))
 
     enc = ImgEncoder(dtype=jnp.bfloat16)
-    dec = ImgDecoder(dtype=jnp.bfloat16, subpixel_up=SUBPIXEL_UP)
+    dec = ImgDecoder(dtype=jnp.bfloat16, subpixel_up=True)
     small = jnp.zeros((1, 64, 128, 3), jnp.float32)
     enc_p = jax.jit(lambda: enc.init(rng, small)["params"])()
     dec_p = jax.jit(lambda: dec.init(rng, enc.apply({"params": enc_p}, small))["params"])()
@@ -86,34 +119,109 @@ def build():
     return state, step
 
 
-def main():
-    state, step = build()
+def _synth_batch(rr, cfg, with_target):
+    h, w = cfg.train.crop_hw
+    bs = sum(s.batch for s in cfg.data.source_streams)
+    bt = sum(s.batch for s in cfg.data.target_streams)
+    ncls = cfg.train.num_classes
+    batch = {
+        "s_img": jnp.asarray(rr.normal(size=(bs, h, w, 3)).astype(np.float32) * 0.5),
+        "s_lbl": jnp.asarray(rr.integers(0, ncls, size=(bs, h, w)).astype(np.int32)),
+    }
+    if with_target:
+        batch["t_img"] = jnp.asarray(rr.normal(size=(bt, h, w, 3)).astype(np.float32) * 0.5)
+        batch["t_pseudo"] = jnp.asarray(rr.integers(0, ncls, size=(bt, h, w)).astype(np.int32))
+    return batch
+
+
+def bench_warmup():
+    state, step = build_warmup()
     rr = np.random.default_rng(0)
     batch = {
         "s_img": jnp.asarray(rr.normal(size=(BATCH, *CROP, 3)).astype(np.float32) * 0.5),
         "s_lbl": jnp.asarray(rr.integers(0, NCLS, size=(BATCH, *CROP)).astype(np.int32)),
     }
+    dt = _time_loop(step, state, batch)
+    _emit("gta2city_warmup_train_imgs_per_sec_per_chip", BATCH / dt,
+          {"ms_per_step": round(dt * 1e3, 1)})
 
-    # compile + warm-up
-    for _ in range(3):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+def bench_preset(preset_name, metric, with_target):
+    from diga_tpu.configs import presets
+    from diga_tpu.train.build import build_experiment
 
-    imgs_per_sec = BATCH * n_steps / dt
-    vs_baseline = imgs_per_sec / PER_CHIP_TARGET
-    print(json.dumps({
-        "metric": "gta2city_warmup_train_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 3),
-        "unit": "imgs/sec",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+    cfg = presets.get_preset(preset_name)
+    state, step, _, _ = build_experiment(cfg)
+    rr = np.random.default_rng(0)
+    batch = _synth_batch(rr, cfg, with_target)
+    dt = _time_loop(step, state, batch)
+    n_src = batch["s_img"].shape[0]
+    _emit(metric, n_src / dt, {"ms_per_step": round(dt * 1e3, 1)})
+
+
+def bench_translator():
+    import optax
+
+    from diga_tpu.configs import presets
+    from diga_tpu.models.translator import Discriminator, ImgDecoder, ImgEncoder
+    from diga_tpu.train.schedules import poly_schedule
+    from diga_tpu.train.steps_translator import (
+        TranslatorConfig,
+        build_translator_step,
+        create_translator_state,
+    )
+
+    cfg = presets.get_preset("gta2city_translator")
+    dtype = jnp.bfloat16
+    enc_kw = dict(dim=64, n_downsample=2, n_res=4, dtype=dtype)
+    dec_kw = dict(dim=256, n_upsample=2, n_res=4, dtype=dtype, subpixel_up=True)
+    dis_kw = dict(dim=64, n_layer=4, num_scales=3, dtype=dtype)
+    modules = {
+        "enc_s": ImgEncoder(**enc_kw), "enc_t": ImgEncoder(**enc_kw),
+        "dec_s2t": ImgDecoder(**dec_kw), "dec_t2s": ImgDecoder(**dec_kw),
+        "dis_s2t": Discriminator(**dis_kw), "dis_t2s": Discriminator(**dis_kw),
+    }
+    opt = optax.adam(poly_schedule(cfg.train.learning_rate, cfg.train.num_steps),
+                     b1=0.5, b2=0.999)
+    state = create_translator_state(modules, opt, jax.random.PRNGKey(0),
+                                    cfg.train.crop_hw)
+    step = jax.jit(build_translator_step(modules, opt, TranslatorConfig()),
+                   donate_argnums=(0,))
+    h, w = cfg.train.crop_hw
+    bs = sum(s.batch for s in cfg.data.source_streams)
+    bt = sum(s.batch for s in cfg.data.target_streams)
+    rr = np.random.default_rng(0)
+    batch = {
+        "s_img": jnp.asarray(rr.normal(size=(bs, h, w, 3)).astype(np.float32) * 0.5),
+        "s_lbl": jnp.asarray(rr.integers(0, 19, size=(bs, h, w)).astype(np.int32)),
+        "t_img": jnp.asarray(rr.normal(size=(bt, h, w, 3)).astype(np.float32) * 0.5),
+    }
+    dt = _time_loop(step, state, batch)
+    _emit("gta2city_translator_train_imgs_per_sec_per_chip", bs / dt,
+          {"ms_per_step": round(dt * 1e3, 1)})
+
+
+STAGES = {
+    "warmup": bench_warmup,
+    "selftrain": lambda: bench_preset(
+        "gta2city_selftrain", "gta2city_selftrain_train_imgs_per_sec_per_chip", True),
+    "semiseg": lambda: bench_preset(
+        "semiseg_1_8_warmup", "semiseg_warmup_train_imgs_per_sec_per_chip", False),
+    "dg": lambda: bench_preset(
+        "dg_gta5", "dg_gta5_train_imgs_per_sec_per_chip", False),
+    "translator": bench_translator,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", default="warmup",
+                   choices=[*STAGES, "all"],
+                   help="which pipeline stage to bench (all = one JSON "
+                        "line per stage; default = flagship warm-up only)")
+    args = p.parse_args()
+    for name in (STAGES if args.stage == "all" else [args.stage]):
+        STAGES[name]()
 
 
 if __name__ == "__main__":

@@ -18,6 +18,35 @@ from ..train.loop import run_training
 from ..utils.checkpoint import save_train_state
 
 
+# the reference auto-downloads its Caffe-converted ResNet-101 init
+# (seg_model_noaux.py:7,328 model_zoo.load_url); same contract here via
+# --pretrained_backbone auto
+CAFFE_RESNET101_URL = (
+    "http://vllab.ucmerced.edu/ytsai/CVPR18/"
+    "DeepLab_resnet_pretrained_init-f81d91e8.pth"
+)
+
+
+def fetch_caffe_backbone(cache_dir: str | None = None) -> str:
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/diga_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    dest = os.path.join(cache_dir, os.path.basename(CAFFE_RESNET101_URL))
+    if os.path.exists(dest):
+        return dest
+    try:
+        from urllib.request import urlretrieve
+
+        print(f"downloading {CAFFE_RESNET101_URL} -> {dest}")
+        urlretrieve(CAFFE_RESNET101_URL, dest)
+    except Exception as e:
+        raise SystemExit(
+            f"could not download the Caffe ResNet-101 init ({e}); on an "
+            f"air-gapped host, fetch it elsewhere and pass "
+            f"--pretrained_backbone /path/to/{os.path.basename(dest)}"
+        ) from e
+    return dest
+
+
 def main(argv=None, force_stage: str | None = None):
     p = base_parser("DiGA-TPU segmentation training")
     p.add_argument("--load_weight_dir", type=str, default=None,
@@ -43,6 +72,9 @@ def main(argv=None, force_stage: str | None = None):
         assert cfg.stage == force_stage, (
             f"preset {cfg.name} is stage {cfg.stage!r}, expected {force_stage!r}"
         )
+
+    if args.pretrained_backbone == "auto":
+        args.pretrained_backbone = fetch_caffe_backbone()
 
     mesh = make_mesh_from_args(args)
     state, step, eval_apply, model = build_experiment(

@@ -54,6 +54,7 @@ class TwoScaleEvaluator:
         ds_hw: tuple[int, int] = (512, 1024),
         mesh=None,
         shard: str = "batch",
+        with_state: bool = False,
     ):
         """``mesh``: optional mesh.  ``shard='batch'`` shards eval batches
         over devices (batch size must divide by the mesh); ``'spatial'``
@@ -70,12 +71,24 @@ class TwoScaleEvaluator:
         if shard not in ("batch", "spatial"):
             raise ValueError(f"shard must be 'batch' or 'spatial', got {shard!r}")
         self.shard = shard
+        self.with_state = with_state
         self.score = RunningScore(num_classes)
 
-        def _step(conf, image, label):
-            merged = two_scale_logits(apply_fn, image, out_hw, ds_hw)
-            pred = jnp.argmax(merged, axis=-1)
-            return confusion_update(conf, label, pred, num_classes), pred
+        if with_state:
+            # ``apply_fn(state, image)``: state is threaded as a jit argument
+            # so ONE compiled program serves every eval pass of a training
+            # run (a state-closure would bake the params as constants and
+            # force a recompile per eval)
+            def _step(conf, state, image, label):
+                merged = two_scale_logits(
+                    lambda im: apply_fn(state, im), image, out_hw, ds_hw)
+                pred = jnp.argmax(merged, axis=-1)
+                return confusion_update(conf, label, pred, num_classes), pred
+        else:
+            def _step(conf, image, label):
+                merged = two_scale_logits(apply_fn, image, out_hw, ds_hw)
+                pred = jnp.argmax(merged, axis=-1)
+                return confusion_update(conf, label, pred, num_classes), pred
 
         if mesh is not None:
             from ..parallel import batch_sharding, replicated, spatial_sharding
@@ -83,26 +96,32 @@ class TwoScaleEvaluator:
             data_sh = (batch_sharding(mesh) if shard == "batch"
                        else spatial_sharding(mesh))
             self._data_sharding = data_sh
+            conf_sh = (replicated(mesh),) + ((replicated(mesh),) if with_state else ())
             self._step = jax.jit(
                 _step,
-                in_shardings=(replicated(mesh), data_sh, data_sh),
+                in_shardings=(*conf_sh, data_sh, data_sh),
                 out_shardings=(replicated(mesh), data_sh),
             )
         else:
             self._step = jax.jit(_step)
 
-    def update(self, image, label):
+    def update(self, image, label, state=None):
         image = jnp.asarray(image)
         label = jnp.asarray(label)
         if self.mesh is not None:
             image = jax.device_put(image, self._data_sharding)
             label = jax.device_put(label, self._data_sharding)
-        self.score.confusion, pred = self._step(self.score.confusion, image, label)
+        if self.with_state:
+            assert state is not None, "with_state evaluator needs state="
+            self.score.confusion, pred = self._step(
+                self.score.confusion, state, image, label)
+        else:
+            self.score.confusion, pred = self._step(self.score.confusion, image, label)
         return pred
 
-    def run(self, batches, progress: bool = False) -> tuple[dict, dict]:
+    def run(self, batches, progress: bool = False, state=None) -> tuple[dict, dict]:
         for i, batch in enumerate(batches):
-            self.update(batch["image"], batch["label"])
+            self.update(batch["image"], batch["label"], state=state)
             if progress and i % 50 == 0:
                 print(f"eval: {i} batches processed", flush=True)
         return self.score.get_scores()

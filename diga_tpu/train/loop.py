@@ -210,6 +210,7 @@ def run_training(
 
     best_miou, best_step = 0.0, 0
     metrics = {}
+    _evaluator = None
     t_last = time.time()
     # exact resume: continue from the restored step counter (the reference
     # restarted its schedule from 0 on every reload, SURVEY.md §5.4)
@@ -248,12 +249,18 @@ def run_training(
             save_train_state(save_path, state, background=True)
 
         if eval_apply_fn is not None and cfg.train.eval_every > 0 and i > 0 and i % cfg.train.eval_every == 0:
-            ev = TwoScaleEvaluator(
-                lambda img: eval_apply_fn(state, img),
-                num_classes=cfg.eval.num_classes,
-                out_hw=cfg.eval.out_hw, ds_hw=cfg.eval.ds_hw,
-            )
-            scores, _ = ev.run(make_val_iterator(cfg, eval_limit)())
+            # one evaluator for the whole run: state is a jit ARGUMENT, so
+            # the two-scale program compiles once, not once per eval pass
+            if _evaluator is None:
+                _evaluator = TwoScaleEvaluator(
+                    eval_apply_fn,
+                    num_classes=cfg.eval.num_classes,
+                    out_hw=cfg.eval.out_hw, ds_hw=cfg.eval.ds_hw,
+                    with_state=True,
+                )
+            ev = _evaluator
+            ev.score.reset()
+            scores, _ = ev.run(make_val_iterator(cfg, eval_limit)(), state=state)
             miou = float(scores["mean_iou"])
             logger.log(i, {"miou": miou}, prefix="val/")
             print(f"step {i}: val mIoU {miou:.4f}", flush=True)
@@ -269,5 +276,6 @@ def run_training(
         from ..utils.checkpoint import wait_for_checkpoints
 
         wait_for_checkpoints()
+    logger.plot()  # final loss/mIoU curve PNGs next to metrics.jsonl
     logger.close()
     return TrainLoopResult(best_miou, best_step, {k: float(v) for k, v in metrics.items()}), state

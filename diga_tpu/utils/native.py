@@ -14,7 +14,10 @@ import subprocess
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdiga_host_ops.so"))
+# installed (non-repo) layouts: point DIGA_TPU_NATIVE_LIB at the built .so
+_SO_PATH = os.environ.get(
+    "DIGA_TPU_NATIVE_LIB",
+    os.path.abspath(os.path.join(_NATIVE_DIR, "libdiga_host_ops.so")))
 
 _lib = None
 
