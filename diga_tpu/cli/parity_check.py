@@ -124,9 +124,10 @@ def main(argv=None):
     if args.vs_torch_replay:
         conf_ours, conf_torch, disagree = eval_confusion_vs_torch(
             cfg, args.weight_dir, args.eval_limit or 50)
-        assert disagree < 1e-3, (
-            f"two-scale eval disagrees with the torch replay on "
-            f"{disagree:.2%} of pixels")
+        if not disagree < 1e-3:  # not `assert` — must survive python -O
+            raise SystemExit(
+                f"gate-1 FAILED: two-scale eval disagrees with the torch "
+                f"replay on {disagree:.2%} of pixels (threshold 0.1%)")
         return conf_ours, conf_torch, disagree
     if args.skip_eval:
         return

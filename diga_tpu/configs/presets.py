@@ -187,6 +187,9 @@ _register(ExperimentConfig(
         lambda_distil=0.25, lr_warmup=1000, power=0.9,
     ),
     eval=EvalConfig(num_classes=16),
+    # Synthia warm-up is the one chain with ColorJitter p=0.7
+    # (Synthia/train_DiGA_synthia2city_warm_up.py:108)
+    extra={"p_jitter": 0.7},
 ))
 
 _register(ExperimentConfig(

@@ -167,6 +167,19 @@ def hrnet_imagenet_init(params: dict, stats: dict, pretrained_sd: dict,
                 f"hrnet ImageNet init: shape mismatch at {ours} <- {pk}: "
                 f"{tuple(full[ours].shape)} vs {tuple(pv.shape)} — "
                 "pretrained weights could not be correctly loaded")
+        # positional zips can silently pair equal-shaped tensors wrongly
+        # (bn.weight vs bn.bias, sibling blocks).  The real hrnetv2
+        # checkpoint uses standard torch naming, where every tensor carries
+        # a semantic suffix; any off-by-one or intra-BN swap flips it, so
+        # when the checkpoint key has a recognizable suffix, require
+        # agreement.  Opaquely-named checkpoints keep the reference's pure
+        # positional behavior (hrnet_module.py:573-584 checks nothing).
+        suffix = pk.rsplit(".", 1)[-1]
+        if (suffix in ("weight", "bias", "running_mean", "running_var")
+                and suffix != ours.rsplit(".", 1)[-1]):
+            raise RuntimeError(
+                f"hrnet ImageNet init: positional pairing misaligned at "
+                f"{ours} <- {pk} (tensor-kind suffix mismatch)")
         full[ours] = pv
     return hrnet_ocr_from_torch(full, arch)
 

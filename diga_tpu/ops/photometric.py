@@ -119,6 +119,7 @@ def photometric_chain(
     p_blur: float = 0.8,
     p_sharp: float = 0.3,
     sharpness: float = 0.5,
+    with_sharpness: bool = True,
 ) -> jnp.ndarray:
     """Apply the DiGA photometric stack to a unit-range BGR NHWC batch."""
     b = x_unit_bgr.shape[0]
@@ -153,17 +154,23 @@ def photometric_chain(
     apply_b = _per_image(p_blur, keys[6], b)
     x = jnp.where(apply_b, gaussian_blur(x, 3, 2.0), x)
 
-    # --- sharpness (unsharp-mask blend, kornia-style) ---
-    apply_s = _per_image(p_sharp, keys[7], b)
-    factor = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=0.0, maxval=sharpness)
-    smooth = gaussian_blur(x, 3, 1.0)
-    sharp = jnp.clip(x + (x - smooth) * factor, 0.0, 1.0)
-    x = jnp.where(apply_s, sharp, x)
+    # --- "sharpness" (kornia-0.5.8 semantics: blend TOWARD the 3x3-smoothed
+    # degenerate image, f~U(0,.5) — i.e. a mild local smoothing, not a
+    # sharpen; kornia's _blend_one(input, degenerate, f) = input +
+    # f*(degenerate-input)) ---
+    if with_sharpness:
+        apply_s = _per_image(p_sharp, keys[7], b)
+        factor = jax.random.uniform(keys[8], (b, 1, 1, 1), minval=0.0, maxval=sharpness)
+        smooth = jnp.clip(gaussian_blur(x, 3, 1.0), 0.0, 1.0)
+        sharp = x + (smooth - x) * factor
+        x = jnp.where(apply_s, sharp, x)
 
     return x
 
 
-def kornia_photometric_chain(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+def kornia_photometric_chain(x: jnp.ndarray, rng: jax.Array, *,
+                             p_jitter: float = 0.5,
+                             with_sharpness: bool = True) -> jnp.ndarray:
     """Reference-faithful variant: the kornia-0.5.8 chain applied DIRECTLY
     to model-normalized tensors, like the reference does (warm_up.py:105-111
     feeds ``sdatav`` — BGR, (raw-mean)/128, range ~[-2, 1.2] — straight
@@ -179,9 +186,12 @@ def kornia_photometric_chain(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
       * RandomGrayscale(p=.3): (.299,.587,.114) dotted with the (BGR!)
         channels as given.
       * RandomGaussianBlur((3,3),(2,2),p=.8): reflect border, no clamp.
-      * RandomSharpness(.5, p=.3): PIL-style — degenerate = 3x3
-        [[1,1,1],[1,5,1],[1,1,1]]/13 conv, interior pixels blended
-        out = x + f*(x - degenerate), f~U(0,.5), border rows/cols kept.
+      * RandomSharpness(.5, p=.3): degenerate = 3x3
+        [[1,1,1],[1,5,1],[1,1,1]]/13 conv CLAMPED to [0,1]; interior
+        pixels blended TOWARD it — kornia's _blend_one(input, result, f)
+        is out = x + f*(degenerate - x) with f~U(0,.5) (a mild smoothing,
+        not a sharpen — kornia 0.5.8 swaps the PIL/TF blend argument
+        order), border rows/cols kept, no clamp on the blend result.
     The clamps to [0,1] on a ~[-2,1.2]-range input are exactly the
     off-distribution behavior ops/photometric.py's default avoids; this
     variant exists to reproduce the reference bit-for-bit in spirit for
@@ -218,7 +228,7 @@ def kornia_photometric_chain(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     for slot in range(4):
         xj = jax.lax.switch(order[slot],
                             [j_brightness, j_contrast, j_saturation, j_hue], xj)
-    x = jnp.where(_per_image(0.5, keys[5], b), xj, x)
+    x = jnp.where(_per_image(p_jitter, keys[5], b), xj, x)
 
     # grayscale with RGB weights on the as-given (BGR) channels
     w_as_given = jnp.asarray([0.299, 0.587, 0.114])
@@ -227,23 +237,27 @@ def kornia_photometric_chain(x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
 
     x = jnp.where(_per_image(0.8, keys[7], b), gaussian_blur(x, 3, 2.0), x)
 
-    # PIL-style sharpness, border preserved
-    factor = jax.random.uniform(keys[9], (b, 1, 1, 1), minval=0.0, maxval=0.5)
-    k_sharp = jnp.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
-    c = x.shape[-1]
-    kern = jnp.zeros((3, 3, 1, c), x.dtype).at[:, :, 0, :].set(k_sharp[..., None])
-    degenerate = jax.lax.conv_general_dilated(
-        x, kern, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    sharp = x + factor * (x - degenerate)
-    interior = jnp.zeros(x.shape[1:3], bool).at[1:-1, 1:-1].set(True)
-    sharp = jnp.where(interior[None, :, :, None], sharp, x)
-    x = jnp.where(_per_image(0.3, keys[8], b), sharp, x)
+    # kornia-0.5.8 "sharpness": blend toward the CLAMPED degenerate image
+    # (out = x + f*(degenerate - x)), interior only, no clamp on the blend
+    if with_sharpness:
+        factor = jax.random.uniform(keys[9], (b, 1, 1, 1), minval=0.0, maxval=0.5)
+        k_sharp = jnp.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+        c = x.shape[-1]
+        kern = jnp.zeros((3, 3, 1, c), x.dtype).at[:, :, 0, :].set(k_sharp[..., None])
+        degenerate = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        degenerate = jnp.clip(degenerate, 0.0, 1.0)
+        sharp = x + factor * (degenerate - x)
+        interior = jnp.zeros(x.shape[1:3], bool).at[1:-1, 1:-1].set(True)
+        sharp = jnp.where(interior[None, :, :, None], sharp, x)
+        x = jnp.where(_per_image(0.3, keys[8], b), sharp, x)
     return x
 
 
 def diga_photometric(x_norm: jnp.ndarray, rng: jax.Array, beta: float,
-                     variant: str = "diga") -> jnp.ndarray:
+                     variant: str = "diga", *, p_jitter: float = 0.5,
+                     with_sharpness: bool = True) -> jnp.ndarray:
     """Full reference behavior: blend the augmented view at strength beta.
 
     reference: sdatav_aug = beta * norm(extra_aug(x)) + (1-beta) * x
@@ -254,11 +268,18 @@ def diga_photometric(x_norm: jnp.ndarray, rng: jax.Array, beta: float,
     to unit BGR, augment, re-normalize to model space (the documented
     deviation).  ``variant='kornia'``: the reference-faithful chain on the
     normalized tensor itself, including the trailing 2x-1 "norm".
+
+    Per-stage knobs (reference deltas): ``p_jitter`` — Synthia warm-up uses
+    ColorJitter p=0.7 (Synthia/...warm_up.py:108), everything else 0.5;
+    ``with_sharpness`` — the DG chain comments RandomSharpness out
+    (train_DiGA_DG.py:114), all other stages include it.
     """
     x32 = x_norm.astype(jnp.float32)
     if variant == "kornia":
-        aug = kornia_photometric_chain(x32, rng)
+        aug = kornia_photometric_chain(x32, rng, p_jitter=p_jitter,
+                                       with_sharpness=with_sharpness)
         return beta * (2.0 * aug - 1.0) + (1.0 - beta) * x32
     unit = jnp.clip(to_unit(x32), 0.0, 1.0)
-    aug = photometric_chain(unit, rng)
+    aug = photometric_chain(unit, rng, p_jitter=p_jitter,
+                            with_sharpness=with_sharpness)
     return beta * to_model(aug) + (1.0 - beta) * x32

@@ -61,6 +61,11 @@ def make_step_config(cfg: ExperimentConfig) -> StepConfig:
         rgb_input=cfg.extra.get("rgb_input", False),
         use_crdomix=not cfg.extra.get("no_translator", False),
         photometric=cfg.extra.get("photometric", "diga"),
+        # per-stage photometric deltas: Synthia warm-up jitter p=0.7
+        # (Synthia/...warm_up.py:108); DG drops RandomSharpness
+        # (train_DiGA_DG.py:114)
+        p_jitter=cfg.extra.get("p_jitter", 0.5),
+        with_sharpness=cfg.extra.get("with_sharpness", cfg.stage != "dg"),
     )
 
 

@@ -58,6 +58,11 @@ class StepConfig:
     # 'kornia' = reference-faithful kornia-0.5.8 chain on normalized
     # tensors incl. the trailing 2x-1 norm (ops/photometric.py)
     photometric: str = "diga"
+    # per-stage photometric deltas: Synthia warm-up jitters with p=0.7
+    # (Synthia/...warm_up.py:108); the DG chain has RandomSharpness
+    # commented out (train_DiGA_DG.py:114)
+    p_jitter: float = 0.5
+    with_sharpness: bool = True
 
 
 def _seg_loss_fn(cfg: StepConfig) -> Callable:
@@ -108,7 +113,8 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
             state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
         )
 
-        s_aug = diga_photometric(s_img, k_aug, cfg.beta, cfg.photometric)
+        s_aug = diga_photometric(s_img, k_aug, cfg.beta, cfg.photometric,
+                                 p_jitter=cfg.p_jitter, with_sharpness=cfg.with_sharpness)
         s_cat = jnp.concatenate([s_img, s_aug], axis=0)
 
         # teacher forward (train-mode BN + dropout, like the reference's
@@ -177,7 +183,8 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
             state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
         )
 
-        s_aug = diga_photometric(s_img, k_aug, cfg.beta, cfg.photometric)
+        s_aug = diga_photometric(s_img, k_aug, cfg.beta, cfg.photometric,
+                                 p_jitter=cfg.p_jitter, with_sharpness=cfg.with_sharpness)
         rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
         s_crdomix = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix, cfg.num_classes)
         s_cat = jnp.concatenate([s_img, s_crdomix], axis=0)
@@ -249,8 +256,10 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
             state.teacher_params, state.params, ema_alpha(state.step, cfg.ema_cap)
         )
 
-        s_aug = diga_photometric(s_img, k_aug_s, cfg.beta, cfg.photometric)
-        t_aug = diga_photometric(t_img, k_aug_t, cfg.beta, cfg.photometric)
+        s_aug = diga_photometric(s_img, k_aug_s, cfg.beta, cfg.photometric,
+                                 p_jitter=cfg.p_jitter, with_sharpness=cfg.with_sharpness)
+        t_aug = diga_photometric(t_img, k_aug_t, cfg.beta, cfg.photometric,
+                                 p_jitter=cfg.p_jitter, with_sharpness=cfg.with_sharpness)
         if cfg.use_crdomix:
             rec_s2t = jax.lax.stop_gradient(translator_apply(state.frozen, s_img))
             s_view2 = mixing.crdomix(rec_s2t, s_aug, s_lbl, k_mix1, cfg.num_classes)

@@ -139,3 +139,20 @@ class TestSemisegChain:
         bad["imagenet.0"] = np.zeros((3, 3), np.float32)
         with pytest.raises(RuntimeError, match="shape mismatch"):
             hrnet_imagenet_init(params, stats, bad, TINY)
+
+        # torch-named checkpoints get the structural suffix guard: a
+        # same-shape bn.weight/bn.bias swap (invisible to the shape check)
+        # must be rejected, not silently loaded
+        named = {}
+        for i, (k, v) in enumerate(x for x in full.items()
+                                   if x[0].startswith("hrnet.")):
+            suffix = k.rsplit(".", 1)[-1]
+            named[f"pre.{i}.{suffix}"] = rr.normal(size=v.shape).astype(np.float32)
+        ks = list(named)
+        i_w = next(i for i, k in enumerate(ks) if k.endswith(".weight")
+                   and ks[i + 1].endswith(".bias"))
+        swapped = {(ks[i_w + 1] if k == ks[i_w] else
+                    ks[i_w] if k == ks[i_w + 1] else k): v
+                   for k, v in named.items()}
+        with pytest.raises(RuntimeError, match="suffix mismatch"):
+            hrnet_imagenet_init(params, stats, swapped, TINY)
