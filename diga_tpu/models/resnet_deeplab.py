@@ -298,6 +298,10 @@ class DeepLabV2(nn.Module):
     # fraction of full remat's recompute cost (batch 6 @512x896 misses
     # no-remat by ~260 MB on a 16 GB chip)
     remat: bool | Sequence[str] = False
+    # head channel-dropout rate (seg_model_noaux.py:205 Dropout2d(0.1));
+    # 0.0 makes the forward deterministic given params — used by the
+    # fused-forwards exactness tests
+    droprate: float = 0.1
     # stage-hoisted space-to-batch for the dilated stages: exact same math
     # (ops/space_to_batch.py), but the inner convs become dense so XLA's
     # per-conv SpaceToBatchConverter (and its ~140 tiled-layout copies per
@@ -378,7 +382,8 @@ class DeepLabV2(nn.Module):
         else:
             x = stage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
             deep = stage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
-        feat, logits = ASPPHead(self.num_classes, dtype=self.dtype, name="head")(deep, train)
+        feat, logits = ASPPHead(self.num_classes, droprate=self.droprate,
+                                dtype=self.dtype, name="head")(deep, train)
         return shallow, deep, logits, feat
 
 

@@ -66,6 +66,11 @@ def make_step_config(cfg: ExperimentConfig) -> StepConfig:
         # (train_DiGA_DG.py:114)
         p_jitter=cfg.extra.get("p_jitter", 0.5),
         with_sharpness=cfg.extra.get("with_sharpness", cfg.stage != "dg"),
+        # opt-in throughput mode, NOT parity-exact: every BN (DeepLab
+        # backbone included) normalizes with train-mode batch statistics
+        # like the reference (seg_model_noaux.py + student.train()), so
+        # pooling the concatenated batches changes the statistics
+        fuse_forwards=cfg.extra.get("fuse_forwards", False),
     )
 
 

@@ -63,6 +63,15 @@ class StepConfig:
     # commented out (train_DiGA_DG.py:114)
     p_jitter: float = 0.5
     with_sharpness: bool = True
+    # batch-concatenate same-params model forwards into one program
+    # (self-training: teacher on [s_cat;t_img], student on [s_cat;cross]).
+    # THROUGHPUT MODE, NOT parity-exact: the reference runs every BN in
+    # train mode (batch statistics; only the affine params are frozen —
+    # seg_model_noaux.py:62-75 + student.train()), so pooling the
+    # concatenated batches changes the normalization statistics (source
+    # and target stats mix).  Off by default; parity runs must keep the
+    # reference's separate-forward statistics.
+    fuse_forwards: bool = False
 
 
 def _seg_loss_fn(cfg: StepConfig) -> Callable:
@@ -268,14 +277,27 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
         s_cat = jnp.concatenate([s_img, s_view2], axis=0)
 
         # ---- teacher forwards (no grad) ----
-        _, st_logits, st_feat, teacher_bs = _student_apply(
-            model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop,
-            rgb_input=cfg.rgb_input,
-        )
-        _, tt_logits, tt_feat, teacher_bs = _student_apply(
-            model, teacher_params, teacher_bs, t_img, k_tdrop2,
-            rgb_input=cfg.rgb_input,
-        )
+        if cfg.fuse_forwards:
+            # one batched forward over [s_cat; t_img] — throughput mode
+            # (see StepConfig.fuse_forwards: BN batch statistics pool
+            # across the concatenated batches, a documented deviation)
+            nt = t_img.shape[0]
+            _, a_logits, a_feat, teacher_bs = _student_apply(
+                model, teacher_params, state.teacher_batch_stats,
+                jnp.concatenate([s_cat, t_img], axis=0), k_tdrop,
+                rgb_input=cfg.rgb_input,
+            )
+            st_logits, tt_logits = a_logits[:-nt], a_logits[-nt:]
+            st_feat, tt_feat = a_feat[:-nt], a_feat[-nt:]
+        else:
+            _, st_logits, st_feat, teacher_bs = _student_apply(
+                model, teacher_params, state.teacher_batch_stats, s_cat, k_tdrop,
+                rgb_input=cfg.rgb_input,
+            )
+            _, tt_logits, tt_feat, teacher_bs = _student_apply(
+                model, teacher_params, teacher_bs, t_img, k_tdrop2,
+                rgb_input=cfg.rgb_input,
+            )
         st_logits = jax.lax.stop_gradient(st_logits)
         st_feat = jax.lax.stop_gradient(st_feat)
         tt_logits = jax.lax.stop_gradient(tt_logits)
@@ -304,12 +326,21 @@ def build_selftrain_step(model, translator_apply, optimizer, cfg: StepConfig):
         cents = prototypes.update_centroids(cents, vec_s, ok_s, start_mean=False)
 
         def loss_fn(params):
-            _, logits, _, bs1 = _student_apply(
-                model, params, state.batch_stats, s_cat, k_sdrop,
-                rgb_input=cfg.rgb_input,
-            )
-            _, cross_logits, _, bs2 = _student_apply(
-                model, params, bs1, cross_img, k_cdrop, rgb_input=cfg.rgb_input)
+            if cfg.fuse_forwards:
+                nc = cross_img.shape[0]
+                _, f_logits, _, bs2 = _student_apply(
+                    model, params, state.batch_stats,
+                    jnp.concatenate([s_cat, cross_img], axis=0), k_sdrop,
+                    rgb_input=cfg.rgb_input,
+                )
+                logits, cross_logits = f_logits[:-nc], f_logits[-nc:]
+            else:
+                _, logits, _, bs1 = _student_apply(
+                    model, params, state.batch_stats, s_cat, k_sdrop,
+                    rgb_input=cfg.rgb_input,
+                )
+                _, cross_logits, _, bs2 = _student_apply(
+                    model, params, bs1, cross_img, k_cdrop, rgb_input=cfg.rgb_input)
             logits_up = resize_bilinear(logits, cfg.crop_hw)
             cross_up = resize_bilinear(cross_logits, cfg.crop_hw)
             ce = seg_loss(logits_up[:b], s_lbl)

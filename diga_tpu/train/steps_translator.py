@@ -34,6 +34,16 @@ class TranslatorConfig:
     # G loss chains ~10 full-res generator forwards, whose residuals
     # exceed 16 GB HBM at 512x896 without it (measured)
     remat: bool = True
+    # single-pass step: compute the generator fakes ONCE via jax.vjp and
+    # reuse them for the D update (detached) and the G update (through
+    # the saved vjp), instead of the reference's two full generator
+    # forwards; also batch each discriminator's real+fake applies and
+    # each decoder's two same-param applies into one call.  EXACT: the
+    # translator has no batch-coupled op (InstanceNorm is per-sample,
+    # the PatchGAN has no norm), and the update order — D first on
+    # detached fakes, G against the UPDATED D — is unchanged
+    # (train_domain_translator.py:240-337).
+    fuse: bool = True
 
 
 @flax.struct.dataclass
@@ -76,7 +86,98 @@ def build_translator_step(modules: dict, optimizer, cfg: TranslatorConfig,
             fn = jax.checkpoint(fn)
         return fn(p, x)
 
+    gen_keys = ("enc_s", "enc_t", "dec_s2t", "dec_t2s")
+
+    def _g_losses(r_s2t, r_t2s, r_s, r_t, r_s_cyc, r_t_cyc,
+                  s_img, s_lbl, t_img, dis_params, vgg_params):
+        loss_self = L.l1_loss(r_s, s_img) + L.l1_loss(r_t, t_img)
+        loss_cyc = L.l1_loss(r_s_cyc, s_img) + L.l1_loss(r_t_cyc, t_img)
+        loss_edge = L.seg_edge_loss(r_s2t, s_img, s_lbl)
+        loss_adv = (
+            L.lsgan_g_loss(apply(dis_s2t_m, jax.lax.stop_gradient(dis_params["dis_s2t"]), r_s2t))
+            + L.lsgan_g_loss(apply(dis_t2s_m, jax.lax.stop_gradient(dis_params["dis_t2s"]), r_t2s))
+        )
+        total = (cfg.lambda_adv * loss_adv + cfg.lambda_cyc * loss_cyc
+                 + cfg.lambda_seg_edge * loss_edge + cfg.lambda_self * loss_self)
+        if cfg.lambda_percep > 0 and vgg_apply is not None:
+            from ..models.vgg import vgg_perceptual_loss
+
+            va = lambda x: vgg_apply(vgg_params, x)
+            total = total + cfg.lambda_percep * (
+                vgg_perceptual_loss(va, r_s2t, s_img)
+                + vgg_perceptual_loss(va, r_t2s, t_img)
+            )
+        aux = {"loss_adv": loss_adv, "loss_cyc": loss_cyc,
+               "loss_edge": loss_edge, "loss_self": loss_self}
+        return total, aux
+
     def step(state: TranslatorState, batch: dict):
+        if cfg.fuse:
+            return _step_fused(state, batch)
+        return _step_reference(state, batch)
+
+    def _update(new_p, new_opt, opt_ref, key, g):
+        upd, new_opt[key] = optimizer.update(g, opt_ref[key], new_p[key])
+        new_p[key] = jax.tree_util.tree_map(lambda a, b: a + b, new_p[key], upd)
+
+    def _step_fused(state: TranslatorState, batch: dict):
+        s_img, s_lbl, t_img = batch["s_img"], batch["s_lbl"], batch["t_img"]
+        p = state.params
+        ns, nt = s_img.shape[0], t_img.shape[0]
+
+        # ---- ONE generator forward, residuals saved for the G update ----
+        def gen_fwd(gp):
+            fs = apply(enc_s_m, gp["enc_s"], s_img)
+            ft = apply(enc_t_m, gp["enc_t"], t_img)
+            # dec_s2t on [fs;ft] -> [translated source; self-recon target]
+            d1 = apply(dec_s2t_m, gp["dec_s2t"], jnp.concatenate([fs, ft], 0))
+            r_s2t, r_t = d1[:ns], d1[ns:]
+            d2 = apply(dec_t2s_m, gp["dec_t2s"], jnp.concatenate([ft, fs], 0))
+            r_t2s, r_s = d2[:nt], d2[nt:]
+            f_s2t = apply(enc_t_m, gp["enc_t"], r_s2t)   # cycle re-encode
+            f_t2s = apply(enc_s_m, gp["enc_s"], r_t2s)
+            r_s_cyc = apply(dec_t2s_m, gp["dec_t2s"], f_s2t)
+            r_t_cyc = apply(dec_s2t_m, gp["dec_s2t"], f_t2s)
+            return (r_s2t, r_t2s, r_s, r_t, r_s_cyc, r_t_cyc)
+
+        gen_params = {k: p[k] for k in gen_keys}
+        outs, gen_vjp = jax.vjp(gen_fwd, gen_params)
+        r_s2t, r_t2s = jax.lax.stop_gradient(outs[0]), jax.lax.stop_gradient(outs[1])
+
+        # ---- discriminator updates on detached fakes (reference :262-282),
+        # real+fake batched into one PatchGAN apply per direction ----
+        def d_loss(dp, m, real, fake):
+            nr = real.shape[0]
+            outs_d = apply(m, dp, jnp.concatenate([real, fake], 0))
+            return L.lsgan_d_loss([o[:nr] for o in outs_d],
+                                  [o[nr:] for o in outs_d])
+
+        ds2t_loss, g_ds2t = jax.value_and_grad(d_loss)(p["dis_s2t"], dis_s2t_m, t_img, r_s2t)
+        dt2s_loss, g_dt2s = jax.value_and_grad(d_loss)(p["dis_t2s"], dis_t2s_m, s_img, r_t2s)
+
+        new_p = dict(p)
+        new_opt = dict(state.opt_state)
+        _update(new_p, new_opt, state.opt_state, "dis_s2t", g_ds2t)
+        _update(new_p, new_opt, state.opt_state, "dis_t2s", g_dt2s)
+
+        # ---- generator update against the UPDATED discriminators, grads
+        # pulled back through the saved forward ----
+        def g_loss_of_outs(o):
+            return _g_losses(*o, s_img, s_lbl, t_img, new_p, state.vgg_params)
+
+        (g_total, aux), out_grads = jax.value_and_grad(
+            g_loss_of_outs, has_aux=True)(outs)
+        grads = gen_vjp(out_grads)[0]
+        for key in gen_keys:
+            _update(new_p, new_opt, state.opt_state, key, grads[key])
+
+        metrics = {"loss_g": g_total, "loss_d_s2t": ds2t_loss, "loss_d_t2s": dt2s_loss}
+        metrics.update(aux)
+        new_state = state.replace(step=state.step + 1, params=new_p,
+                                  opt_state=new_opt, rng=state.rng)
+        return new_state, metrics
+
+    def _step_reference(state: TranslatorState, batch: dict):
         s_img, s_lbl, t_img = batch["s_img"], batch["s_lbl"], batch["t_img"]
         p = state.params
 
@@ -95,9 +196,8 @@ def build_translator_step(modules: dict, optimizer, cfg: TranslatorConfig,
 
         new_p = dict(p)
         new_opt = dict(state.opt_state)
-        for key, g in (("dis_s2t", g_ds2t), ("dis_t2s", g_dt2s)):
-            upd, new_opt[key] = optimizer.update(g, state.opt_state[key], p[key])
-            new_p[key] = jax.tree_util.tree_map(lambda a, b: a + b, p[key], upd)
+        _update(new_p, new_opt, state.opt_state, "dis_s2t", g_ds2t)
+        _update(new_p, new_opt, state.opt_state, "dis_t2s", g_dt2s)
 
         # ---- generator update against the UPDATED discriminators ----
         def g_loss(gen_params):
@@ -111,34 +211,13 @@ def build_translator_step(modules: dict, optimizer, cfg: TranslatorConfig,
             f_t2s = apply(enc_s_m, gen_params["enc_s"], r_t2s)
             r_s_cyc = apply(dec_t2s_m, gen_params["dec_t2s"], f_s2t)
             r_t_cyc = apply(dec_s2t_m, gen_params["dec_s2t"], f_t2s)
+            return _g_losses(r_s2t, r_t2s, r_s, r_t, r_s_cyc, r_t_cyc,
+                             s_img, s_lbl, t_img, new_p, state.vgg_params)
 
-            loss_self = L.l1_loss(r_s, s_img) + L.l1_loss(r_t, t_img)
-            loss_cyc = L.l1_loss(r_s_cyc, s_img) + L.l1_loss(r_t_cyc, t_img)
-            loss_edge = L.seg_edge_loss(r_s2t, s_img, s_lbl)
-            loss_adv = (
-                L.lsgan_g_loss(apply(dis_s2t_m, jax.lax.stop_gradient(new_p["dis_s2t"]), r_s2t))
-                + L.lsgan_g_loss(apply(dis_t2s_m, jax.lax.stop_gradient(new_p["dis_t2s"]), r_t2s))
-            )
-            total = (cfg.lambda_adv * loss_adv + cfg.lambda_cyc * loss_cyc
-                     + cfg.lambda_seg_edge * loss_edge + cfg.lambda_self * loss_self)
-            if cfg.lambda_percep > 0 and vgg_apply is not None:
-                from ..models.vgg import vgg_perceptual_loss
-
-                va = lambda x: vgg_apply(state.vgg_params, x)
-                total = total + cfg.lambda_percep * (
-                    vgg_perceptual_loss(va, r_s2t, s_img)
-                    + vgg_perceptual_loss(va, r_t2s, t_img)
-                )
-            aux = {"loss_adv": loss_adv, "loss_cyc": loss_cyc,
-                   "loss_edge": loss_edge, "loss_self": loss_self}
-            return total, aux
-
-        gen_keys = ("enc_s", "enc_t", "dec_s2t", "dec_t2s")
         gen_params = {k: new_p[k] for k in gen_keys}
         (g_total, aux), grads = jax.value_and_grad(g_loss, has_aux=True)(gen_params)
         for key in gen_keys:
-            upd, new_opt[key] = optimizer.update(grads[key], state.opt_state[key], new_p[key])
-            new_p[key] = jax.tree_util.tree_map(lambda a, b: a + b, new_p[key], upd)
+            _update(new_p, new_opt, state.opt_state, key, grads[key])
 
         metrics = {"loss_g": g_total, "loss_d_s2t": ds2t_loss, "loss_d_t2s": dt2s_loss}
         metrics.update(aux)

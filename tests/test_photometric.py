@@ -121,3 +121,51 @@ class TestKorniaFaithfulVariant:
             name="x", stage="dg", data=DataConfig(), train=TrainConfig(),
             eval=EvalConfig(), extra={"photometric": "kornia"})
         assert make_step_config(cfg).photometric == "kornia"
+
+    def test_sharpness_blends_toward_degenerate(self):
+        """kornia 0.5.8's _blend_one(input, degenerate, f) moves TOWARD the
+        3x3-smoothed image (a mild blur) — the TV/PIL argument order would
+        sharpen instead (ADVICE r2 medium finding)."""
+        from diga_tpu.ops.photometric import kornia_photometric_chain
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, size=(1, 24, 32, 3)).astype(np.float32))
+        # find a key whose sharpness gate fires for the single image
+        for seed in range(40):
+            k = jax.random.PRNGKey(seed)
+            keys = jax.random.split(k, 12)
+            fired = bool(np.asarray(
+                jax.random.uniform(keys[8], (1, 1, 1, 1)) < 0.3)[0, 0, 0, 0])
+            if not fired:
+                continue
+            out = np.asarray(kornia_photometric_chain(
+                x, k, p_jitter=0.0, with_sharpness=True))
+            base = np.asarray(kornia_photometric_chain(
+                x, k, p_jitter=0.0, with_sharpness=False))
+            # recompute the degenerate from the pre-sharpness tensor
+            kern = np.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+            from scipy import ndimage
+            deg = np.stack([ndimage.correlate(base[0, :, :, c], kern,
+                                              mode="constant")
+                            for c in range(3)], axis=-1)[None]
+            deg = np.clip(deg, 0.0, 1.0)
+            interior = np.s_[:, 1:-1, 1:-1, :]
+            d_out = np.abs(out - deg)[interior]
+            d_base = np.abs(base - deg)[interior]
+            changed = np.abs(out - base)[interior] > 1e-7
+            if changed.sum() == 0:   # factor drew ~0
+                continue
+            # blended pixels moved toward the degenerate, never past it
+            assert (d_out[changed] <= d_base[changed] + 1e-6).all()
+            return
+        pytest.fail("sharpness gate never fired in 40 seeds")
+
+    def test_dg_omits_sharpness(self):
+        """The DG reference chain comments RandomSharpness out
+        (train_DiGA_DG.py:114) — build_dg_step's config must drop it."""
+        from diga_tpu.configs.presets import get_preset
+        from diga_tpu.train.build import make_step_config
+
+        assert make_step_config(get_preset("dg_gta5")).with_sharpness is False
+        assert make_step_config(get_preset("gta2city_warmup")).with_sharpness is True
+        assert make_step_config(get_preset("synthia2city_warmup")).p_jitter == 0.7

@@ -152,6 +152,54 @@ class TestSelfTrainStep:
         assert 0.0 <= float(metrics["consensus_kept"]) <= 1.0
 
 
+class TestFusedForwards:
+    def test_fused_selftrain_step_close_to_unfused(self):
+        """fuse_forwards batches the 4 model forwards into 2.  It is NOT
+        exact — like the reference, every BN normalizes with train-mode
+        batch statistics, and pooling [s_cat; t_img] changes them — so
+        this asserts the fused step tracks the unfused one closely (the
+        statistics estimate the same distribution) and that the mode is
+        structurally sound (a slicing bug would produce O(1) gaps)."""
+
+        def translator_apply(frozen, img):
+            return img
+
+        model = DeepLabV2(num_classes=NCLS, layers=(1, 1, 1, 1), droprate=0.0)
+        k = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, *CROP, 3), jnp.float32)
+        variables = model.init({"params": k, "dropout": k}, x, train=False)
+        opt = make_optimizer(variables["params"])
+        batch = fake_batch(b=2, with_target=True)
+
+        # non-degenerate centroids: zero-init makes every class equidistant,
+        # so the consensus argmax tie-breaks on float noise and flips
+        # discretely between two otherwise-identical programs
+        cents = Centroids.create(NCLS, 256)
+        cents = cents._replace(vectors=jnp.asarray(
+            np.random.default_rng(7).normal(size=(NCLS, 256)).astype(np.float32)))
+
+        results = {}
+        for fused in (False, True):
+            cfg = StepConfig(crop_hw=CROP, lambda_distil=0.25, beta=0.3,
+                             fuse_forwards=fused)
+            state = create_seg_state(
+                model, opt, k, CROP, centroids=cents, frozen=None)
+            step = jax.jit(build_selftrain_step(model, translator_apply, opt, cfg))
+            new_state, metrics = step(state, batch)
+            results[fused] = (new_state, metrics)
+
+        m0, m1 = results[False][1], results[True][1]
+        for key in m0:
+            np.testing.assert_allclose(
+                np.asarray(m0[key], np.float64), np.asarray(m1[key], np.float64),
+                rtol=0.08, atol=0.02, err_msg=f"metric {key}")
+        p0 = jax.tree_util.tree_leaves(results[False][0].params)
+        p1 = jax.tree_util.tree_leaves(results[True][0].params)
+        for a, b in zip(p0, p1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=5e-4)
+
+
 class TestEvaluator:
     def test_two_scale_eval_perfect_model(self):
         from diga_tpu.eval import TwoScaleEvaluator

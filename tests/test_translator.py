@@ -105,3 +105,35 @@ class TestTranslatorStep:
             d_losses.append(float(m["loss_d_s2t"]))
             assert np.isfinite(float(m["loss_g"]))
         assert d_losses[-1] < d_losses[0]  # D learns real-vs-fake quickly
+
+    def test_fused_step_exact_vs_reference(self):
+        """The single-pass (vjp + batched D/decoder applies) step must
+        reproduce the reference-shaped two-forward step: the translator has
+        no batch-coupled or stochastic op, so the math is identical and
+        only float reassociation (different conv batch tiling) remains.
+        SGD keeps that noise proportional — Adam's mhat/sqrt(vhat) is
+        sign-like for near-zero grads and would amplify 1e-6 gradient
+        noise into full-magnitude update flips."""
+        modules = tiny_modules()
+        opt = optax.sgd(1e-2)
+        rr = np.random.default_rng(1)
+        batch = {
+            "s_img": jnp.asarray(rr.normal(size=(2, *CROP, 3)).astype(np.float32) * 0.3),
+            "s_lbl": jnp.asarray(rr.integers(0, 19, size=(2, *CROP)).astype(np.int32)),
+            "t_img": jnp.asarray(rr.normal(size=(2, *CROP, 3)).astype(np.float32) * 0.3),
+        }
+        results = {}
+        for fuse in (False, True):
+            state = create_translator_state(modules, opt, jax.random.PRNGKey(0), CROP)
+            cfg = TranslatorConfig(lambda_percep=0.0, fuse=fuse)
+            step = jax.jit(build_translator_step(modules, opt, cfg))
+            state, m = step(state, batch)
+            results[fuse] = (state, m)
+        m0, m1 = results[False][1], results[True][1]
+        for key in m0:
+            np.testing.assert_allclose(float(m0[key]), float(m1[key]),
+                                       rtol=1e-4, atol=1e-5, err_msg=key)
+        for a, b in zip(jax.tree_util.tree_leaves(results[False][0].params),
+                        jax.tree_util.tree_leaves(results[True][0].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-6)
