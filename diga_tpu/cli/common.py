@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 
 from ..configs.presets import ExperimentConfig, get_preset
 
@@ -28,6 +29,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--extra", action="append", default=[], metavar="KEY=VALUE",
+                   help="override an ExperimentConfig.extra entry (repeatable); "
+                        "values parse as JSON when possible, else raw strings "
+                        "(e.g. --extra photometric=kornia --extra "
+                        "fuse_forwards=true)")
     return p
 
 
@@ -45,10 +51,20 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["compute_dtype"] = args.compute_dtype
     if getattr(args, "seed", None) is not None:
         train_kw["seed"] = args.seed
+    extra = dict(cfg.extra)
+    for item in getattr(args, "extra", []) or []:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--extra expects KEY=VALUE, got {item!r}")
+        try:
+            extra[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            extra[key] = raw
     return dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, **data_kw),
         train=dataclasses.replace(cfg.train, **train_kw),
+        extra=extra,
     )
 
 

@@ -21,12 +21,22 @@ from ..data import bdd_dataset, cityscapes_dataset, mapillary_dataset
 from ..data.label_maps import CLASS_NAMES_16, CLASS_NAMES_19
 
 
-def iter_val(ds, limit=None):
+def iter_val(ds, limit=None, batch=1):
+    """Fixed-shape batches of ``batch`` images.  The final partial batch is
+    padded by repeating the last image with all-ignore (255) labels, which
+    contribute nothing to the confusion matrix; ``names`` lists only the
+    real entries so prediction dumps skip the padding."""
     n = len(ds) if limit is None else min(limit, len(ds))
-    for i in range(n):
-        s = ds[i]
-        yield {"image": s["image"][None], "label": s["label"][None].astype(np.int32),
-               "name": s["name"]}
+    for start in range(0, n, batch):
+        samples = [ds[i] for i in range(start, min(start + batch, n))]
+        k = len(samples)
+        images = [s["image"] for s in samples]
+        labels = [s["label"].astype(np.int32) for s in samples]
+        while len(images) < batch:  # pad the tail to the compiled shape
+            images.append(images[-1])
+            labels.append(np.full_like(labels[-1], 255))
+        yield {"image": np.stack(images), "label": np.stack(labels),
+               "names": [s["name"] for s in samples], "valid": k}
 
 
 def main(argv=None):
@@ -48,20 +58,27 @@ def main(argv=None):
                         "when evaluating several")
     p.add_argument("--shard", type=str, default="batch",
                    choices=["batch", "spatial"],
-                   help="'spatial' + --n_devices shards the image HEIGHT over "
+                   help="'batch' + --eval_batch N + --n_devices shards each "
+                        "N-image eval batch over the mesh (throughput mode); "
+                        "'spatial' + --n_devices shards the image HEIGHT over "
                         "the mesh for lowest single-image full-res latency "
-                        "(GSPMD conv halos).  'batch' runs unsharded here — "
-                        "this CLI iterates single-image batches; batch-sharded "
-                        "eval runs inside the train loop's batched val path")
+                        "(GSPMD conv halos)")
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="images per eval step; with --n_devices and --shard "
+                        "batch this should be a multiple of the device count")
     args = p.parse_args(argv)
     cfg = get_config(args)
     mesh = make_mesh_from_args(args)
-    if mesh is not None and args.shard == "batch":
-        print("note: --n_devices without --shard spatial has no effect in "
-              "this CLI (single-image batches); running unsharded")
+    if mesh is not None and args.shard == "batch" and args.eval_batch == 1:
+        print("note: --n_devices with --shard batch needs --eval_batch > 1 "
+              "to use the mesh; running unsharded single-image batches")
+        mesh = None
     if mesh is None and args.shard == "spatial":
         p.error("--shard spatial requires --n_devices (no mesh was built, "
                 "so the evaluator would silently run unsharded)")
+    if args.shard == "spatial" and args.eval_batch != 1:
+        p.error("--shard spatial evaluates single-image batches; "
+                "--eval_batch applies to --shard batch")
 
     state, _, eval_apply, model = build_experiment(cfg, load_weight_dir=args.weight_dir)
 
@@ -88,24 +105,23 @@ def main(argv=None):
         ev = TwoScaleEvaluator(lambda img: eval_apply(state, img),
                                num_classes=cfg.eval.num_classes,
                                out_hw=tuple(spec["out_hw"]), ds_hw=tuple(spec["ds_hw"]),
-                               # this CLI iterates single-image batches, so a
-                               # mesh only helps in spatial mode (batch-sharded
-                               # eval runs inside the train loop's batched path)
-                               mesh=mesh if args.shard == "spatial" else None,
-                               shard=args.shard)
+                               mesh=mesh, shard=args.shard)
         dump_dir = None
         if args.dump_preds:
             dump_dir = (args.dump_preds if len(dataset_names) == 1
                         else os.path.join(args.dump_preds, name))
             os.makedirs(dump_dir, exist_ok=True)
-        for i, batch in enumerate(iter_val(ds, args.eval_limit)):
+        for i, batch in enumerate(iter_val(ds, args.eval_limit,
+                                           batch=args.eval_batch)):
             pred = ev.update(batch["image"], batch["label"])
             if dump_dir is not None:
                 from PIL import Image
 
-                base = os.path.splitext(os.path.basename(batch["name"]))[0]
-                Image.fromarray(np.asarray(pred[0], np.uint8)).save(
-                    os.path.join(dump_dir, base + ".png"))
+                pred_np = np.asarray(pred[:batch["valid"]], np.uint8)
+                for j, bname in enumerate(batch["names"]):
+                    base = os.path.splitext(os.path.basename(bname))[0]
+                    Image.fromarray(pred_np[j]).save(
+                        os.path.join(dump_dir, base + ".png"))
             if i % 50 == 0:
                 print(f"eval: {i} batches processed", flush=True)
         scores, cls_iu = ev.score.get_scores()

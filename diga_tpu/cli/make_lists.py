@@ -9,6 +9,8 @@ derivable ones by enumerating a dataset directory:
   python -m diga_tpu.cli.make_lists cityscapes --root ./data/Cityscapes --out lists/
   python -m diga_tpu.cli.make_lists gta5 --root ./data/GTA5 --out lists/
   python -m diga_tpu.cli.make_lists synthia --root ./data/SYNTHIA --out lists/
+  python -m diga_tpu.cli.make_lists bdd100k --root ./data/BDD100k --out lists/
+  python -m diga_tpu.cli.make_lists mapillary --root ./data/Mapillary --out lists/
 """
 
 from __future__ import annotations
@@ -47,9 +49,22 @@ def flat_lists(root: str, out_dir: str, name: str, img_sub: str):
     print(f"{name}: {len(imgs)} images")
 
 
+def bare_id_lists(root: str, out_dir: str, name: str, img_sub: str, split: str):
+    """BDD100k/Mapillary val lists in the reference's bare-id format
+    (no extension; the loaders expand the path templates —
+    BDDLoader.py:66-67, MapillaryLoader.py:165-166)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ids = [os.path.splitext(p)[0] for p in _walk(root, img_sub, (".jpg", ".png"))]
+    for suffix in ("", "_label"):
+        with open(os.path.join(out_dir, f"{name}_{split}{suffix}.txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    print(f"{name} {split}: {len(ids)} images")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("dataset", choices=["cityscapes", "gta5", "synthia"])
+    p.add_argument("dataset", choices=["cityscapes", "gta5", "synthia",
+                                       "bdd100k", "mapillary"])
     p.add_argument("--root", required=True)
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
@@ -57,6 +72,10 @@ def main(argv=None):
         cityscapes_lists(args.root, args.out)
     elif args.dataset == "gta5":
         flat_lists(args.root, args.out, "gta5", "images")
+    elif args.dataset == "bdd100k":
+        bare_id_lists(args.root, args.out, "bdd100k", "images/val", "val")
+    elif args.dataset == "mapillary":
+        bare_id_lists(args.root, args.out, "mapillary", "validation/images", "val")
     else:
         flat_lists(args.root, args.out, "synthia", "RGB")
 

@@ -227,25 +227,49 @@ def synthia_dataset(root: str, list_path: str, **kw) -> SegDataset:
     )
 
 
-def bdd_dataset(root: str, img_list_path: str, lbl_list_path: str, **kw) -> SegDataset:
-    """BDD100k (labels already trainIds).  reference: BDDLoader.py:35+"""
+def _bare_ids(names: list[str]) -> bool:
+    """The reference ships BDD/Mapillary lists as bare ids (no extension,
+    e.g. ``a59131a5-00000000``); its loaders expand them with hard-coded
+    templates.  Lists with real relative paths keep the plain layout."""
+    return bool(names) and "." not in os.path.basename(names[0])
+
+
+def bdd_dataset(root: str, img_list_path: str, lbl_list_path: str,
+                split: str = "val", **kw) -> SegDataset:
+    """BDD100k (labels already trainIds).  reference: BDDLoader.py:35+
+
+    Accepts either full relative paths or the reference's bare-id lists
+    (expanded as images/<split>/<id>.jpg + gtFine/<split>/<id>_train_id.png,
+    BDDLoader.py:66-67).
+    """
+    imgs, lbls = read_list(img_list_path), read_list(lbl_list_path)
+    tpl = {}
+    if _bare_ids(imgs):
+        tpl = dict(img_template=f"images/{split}/{{name}}.jpg",
+                   lbl_template=f"gtFine/{split}/{{name}}_train_id.png")
     return SegDataset(
-        root=root,
-        img_list=read_list(img_list_path),
-        lbl_list=read_list(lbl_list_path),
-        lut=label_maps.BDD_LUT,
-        **kw,
+        root=root, img_list=imgs, lbl_list=lbls,
+        lut=label_maps.BDD_LUT, **tpl, **kw,
     )
 
 
-def mapillary_dataset(root: str, img_list_path: str, lbl_list_path: str, **kw) -> SegDataset:
-    """Mapillary Vistas (66 -> 19 classes).  reference: MapillaryLoader.py:133+"""
+def mapillary_dataset(root: str, img_list_path: str, lbl_list_path: str,
+                      split: str = "validation", **kw) -> SegDataset:
+    """Mapillary Vistas (66 -> 19 classes).  reference: MapillaryLoader.py:133+
+
+    Accepts either full relative paths or the reference's bare-id lists
+    (expanded as <split>/images/<id>.jpg + <split>/labels/<id>.png with
+    split='validation', MapillaryLoader.py:165-166 + the DG evaluator's
+    set='validation' at evaluate_val.py:75).
+    """
+    imgs, lbls = read_list(img_list_path), read_list(lbl_list_path)
+    tpl = {}
+    if _bare_ids(imgs):
+        tpl = dict(img_template=f"{split}/images/{{name}}.jpg",
+                   lbl_template=f"{split}/labels/{{name}}.png")
     return SegDataset(
-        root=root,
-        img_list=read_list(img_list_path),
-        lbl_list=read_list(lbl_list_path),
-        lut=label_maps.MAPILLARY_LUT,
-        **kw,
+        root=root, img_list=imgs, lbl_list=lbls,
+        lut=label_maps.MAPILLARY_LUT, **tpl, **kw,
     )
 
 

@@ -100,6 +100,58 @@ def make_flat_fixture(root: str, n: int = 2, h: int = 48, w: int = 64,
     return img_list, lbl_list
 
 
+def make_bdd_reference_fixture(root: str, n: int = 2, h: int = 48, w: int = 64,
+                               seed: int = 4) -> tuple[str, str]:
+    """Reference-layout BDD100k val fixture: images/val/<id>.jpg +
+    gtFine/val/<id>_train_id.png and BARE-ID lists (no extension), the
+    format the reference ships (BDDLoader.py:66-67)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "images", "val"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gtFine", "val"), exist_ok=True)
+    ids = []
+    for i in range(n):
+        bid = f"{i:08x}-00000000"
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 19, size=(h, w)).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(root, "images", "val", bid + ".jpg"), quality=95)
+        Image.fromarray(lbl).save(
+            os.path.join(root, "gtFine", "val", bid + "_train_id.png"))
+        ids.append(bid)
+    img_list = os.path.join(root, "val.txt")
+    lbl_list = os.path.join(root, "val_label.txt")
+    for path in (img_list, lbl_list):
+        with open(path, "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return img_list, lbl_list
+
+
+def make_mapillary_reference_fixture(root: str, n: int = 2, h: int = 48,
+                                     w: int = 64, seed: int = 5) -> tuple[str, str]:
+    """Reference-layout Mapillary val fixture: validation/images/<id>.jpg +
+    validation/labels/<id>.png and BARE-ID lists
+    (MapillaryLoader.py:165-166, set='validation')."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "validation", "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "validation", "labels"), exist_ok=True)
+    ids = []
+    for i in range(n):
+        mid = f"fixture_{i:04d}_id"
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 66, size=(h, w)).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(root, "validation", "images", mid + ".jpg"), quality=95)
+        Image.fromarray(lbl).save(
+            os.path.join(root, "validation", "labels", mid + ".png"))
+        ids.append(mid)
+    img_list = os.path.join(root, "val.txt")
+    lbl_list = os.path.join(root, "val_label.txt")
+    for path in (img_list, lbl_list):
+        with open(path, "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return img_list, lbl_list
+
+
 def make_cityscapes_fixture(
     root: str, n: int = 4, h: int = 64, w: int = 128, seed: int = 1, split: str = "val"
 ) -> tuple[str, str]:

@@ -174,10 +174,12 @@ class HRModule(nn.Module):
                 if j == i:
                     v = ys[j]
                 elif j > i:
-                    # lower-res -> 1x1 conv + BN, bilinear upsample
+                    # lower-res -> 1x1 conv + BN, bilinear upsample (run in
+                    # the compute dtype: backbone-internal, see resize.py)
                     v = ConvBN(self.channels[i], 1, 1, relu=False, dtype=self.dtype,
                                name=f"fuse{i}_{j}")(ys[j], train)
-                    v = resize_bilinear(v, ys[i].shape[1:3], align_corners=True)
+                    v = resize_bilinear(v, ys[i].shape[1:3], align_corners=True,
+                                        compute_dtype=self.dtype)
                 else:
                     # higher-res -> chain of stride-2 3x3s
                     v = ys[j]
@@ -196,16 +198,21 @@ class HRNet(nn.Module):
 
     arch: dict = None
     dtype: Dtype = jnp.float32
-    # rematerialize each exchange module in backward: W48 at 512x1024
-    # batch 6 keeps 4 branches of high-res activations and OOMs 16 GB
-    # HBM without it
-    remat: bool = False
+    # rematerialize exchange modules in backward: W48 at 512x1024 batch 6
+    # keeps 4 branches of high-res activations and OOMs 16 GB HBM without
+    # it (measured: 18.0 GB needed).  True = remat every module, False =
+    # none, or a tuple of stage names ("stage2".."stage4") for partial
+    # remat — the memory/recompute dial, same scheme as DeepLabV2.remat.
+    remat: Any = False
+
+    def _remat_stage(self, si: int) -> bool:
+        if isinstance(self.remat, (tuple, list)):
+            return f"stage{si}" in self.remat
+        return bool(self.remat)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         a = self.arch or W48
-        module_cls = (nn.remat(HRModule, static_argnums=(2,))
-                      if self.remat else HRModule)
         x = x.astype(self.dtype)
         # stride-4 stem (hrnet_module.py:347-354)
         x = ConvBN(a["stem_channels"], 3, 2, dtype=self.dtype, name="stem1")(x, train)
@@ -236,13 +243,17 @@ class HRNet(nn.Module):
                                    name=f"trans{si}_{i}_{j}")(v, train)
                     new_xs.append(v)
             xs = new_xs
+            module_cls = (nn.remat(HRModule, static_argnums=(2,))
+                          if self._remat_stage(si) else HRModule)
             for m in range(num_modules):
                 xs = module_cls(channels, num_blocks, dtype=self.dtype,
                                 name=f"stage{si}_module{m}")(xs, train)
 
         # upsample all to branch-0 resolution and concat (:521-538)
         hw = xs[0].shape[1:3]
-        ups = [xs[0]] + [resize_bilinear(v, hw, align_corners=True) for v in xs[1:]]
+        ups = [xs[0]] + [resize_bilinear(v, hw, align_corners=True,
+                                         compute_dtype=self.dtype)
+                         for v in xs[1:]]
         return jnp.concatenate(ups, axis=-1)
 
 
@@ -313,7 +324,7 @@ class HRNetOCR(nn.Module):
     num_classes: int = 19
     arch_name: str = "w48"
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Any = False  # True | False | tuple of "stage2".."stage4"
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -45,8 +45,24 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool = True) -> j
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - i))
 
 
-def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = True) -> jnp.ndarray:
-    """Bilinear resize of NHWC (or HWC) arrays via separable matmuls."""
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
+                    align_corners: bool = True,
+                    compute_dtype=None) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC) arrays via separable matmuls.
+
+    ``compute_dtype=None`` (default) runs the interpolation matmuls in
+    fp32 regardless of input dtype: bf16 interpolation WEIGHTS would
+    visibly shift eval logits and break mIoU parity, so every
+    protocol-level resize (evaluator, losses, pseudo-labels) stays fp32.
+
+    Backbone-INTERNAL resizes under a bf16 compute dtype (HRNet exchange
+    units) may pass ``compute_dtype=jnp.bfloat16``: inputs/weights in
+    bf16 with fp32 MXU accumulation (``preferred_element_type``).  This
+    avoids materializing an f32 copy of the activation and the
+    f32<->bf16 tile-layout conversion copies around every fuse unit
+    (measured on the semiseg step trace); the ~2^-8 relative weight
+    error is within the bf16 compute noise the network already carries.
+    """
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
@@ -55,16 +71,18 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool
     if (h, w) == (oh, ow):
         return x[0] if squeeze else x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    # HIGHEST keeps the MXU in fp32 accumulation: interpolation weights in
-    # bf16 would visibly shift eval logits and break mIoU parity.
+    cd = jnp.float32 if compute_dtype is None else compute_dtype
+    xf = x.astype(cd)
+    # HIGHEST keeps fp32 MXU accumulation in the f32 path; for bf16
+    # inputs the accumulator is pinned via preferred_element_type instead
     prec = jax.lax.Precision.HIGHEST
+    kw = dict(precision=prec, preferred_element_type=jnp.float32)
     if h != oh:
-        Ah = _interp_matrix(h, oh, align_corners)
-        xf = jnp.einsum("oh,bhwc->bowc", Ah, xf, precision=prec)
+        Ah = _interp_matrix(h, oh, align_corners).astype(cd)
+        xf = jnp.einsum("oh,bhwc->bowc", Ah, xf, **kw).astype(cd)
     if w != ow:
-        Aw = _interp_matrix(w, ow, align_corners)
-        xf = jnp.einsum("ow,bhwc->bhoc", Aw, xf, precision=prec)
+        Aw = _interp_matrix(w, ow, align_corners).astype(cd)
+        xf = jnp.einsum("ow,bhwc->bhoc", Aw, xf, **kw).astype(cd)
     out = xf.astype(dtype)
     return out[0] if squeeze else out
 

@@ -108,17 +108,28 @@ class MultiStreamLoader:
             l.stop()
 
 
-def make_train_iterator(cfg: ExperimentConfig, with_target: bool):
-    """Yields step batches: {'s_img','s_lbl'[,'t_img','t_lbl','t_pseudo']}."""
+def make_train_iterator(cfg: ExperimentConfig, with_target: bool,
+                        batch_scale: int = 1):
+    """Yields step batches: {'s_img','s_lbl'[,'t_img','t_lbl','t_pseudo']}.
+
+    ``batch_scale``: per-chip batch semantics over a data mesh — every
+    stream's batch is multiplied by the mesh size, so each device carries
+    the reference's recipe batch (the global batch is recipe x N and the
+    leading axis always divides the mesh).  N=1 reproduces the reference
+    recipe exactly; N>1 is standard data-parallel scaling with global
+    (cross-replica) BN statistics under GSPMD.
+    """
     crop = cfg.train.crop_hw
     src = MultiStreamLoader(
-        [(build_dataset(s, cfg.data, crop, True), s.batch) for s in cfg.data.source_streams],
+        [(build_dataset(s, cfg.data, crop, True), s.batch * batch_scale)
+         for s in cfg.data.source_streams],
         seed=cfg.train.seed, num_workers=cfg.data.num_workers,
     )
     tgt = None
     if with_target:
         tgt = MultiStreamLoader(
-            [(build_dataset(s, cfg.data, crop, False), s.batch) for s in cfg.data.target_streams],
+            [(build_dataset(s, cfg.data, crop, False), s.batch * batch_scale)
+             for s in cfg.data.target_streams],
             seed=cfg.train.seed + 1000, num_workers=cfg.data.num_workers,
         )
 
@@ -204,7 +215,10 @@ def run_training(
     # which we gate out of the hot loop entirely
     with_target = cfg.stage == "selftrain"
 
-    it, src, tgt = make_train_iterator(cfg, with_target)
+    # per-chip batch semantics: each mesh device carries the recipe batch
+    # (see make_train_iterator.batch_scale)
+    it, src, tgt = make_train_iterator(
+        cfg, with_target, batch_scale=mesh.size if mesh is not None else 1)
     sharding = batch_sharding(mesh) if mesh is not None else None
     it = device_prefetch(it, sharding=sharding, buffer_size=2)
 

@@ -80,6 +80,27 @@ class TestE2ESmoke:
         # metrics.jsonl written
         assert os.path.exists(tmp_path / "work" / "metrics.jsonl")
 
+    def test_mesh_training_per_chip_batch(self, tiny_cfg, tmp_path):
+        """Per-chip batch semantics over a data mesh: every stream batch is
+        multiplied by the mesh size (so recipe batches that don't divide
+        the device count still shard), and the step runs under GSPMD."""
+        from diga_tpu.parallel import make_mesh
+        from diga_tpu.train.loop import make_train_iterator
+
+        mesh = make_mesh(4)
+        it, src, tgt = make_train_iterator(tiny_cfg, False, batch_scale=4)
+        batch = next(it)
+        src.stop()
+        assert batch["s_img"].shape[0] == 2 * 4  # two 1-image streams x mesh
+
+        state, step, eval_apply, model = build_experiment(tiny_cfg, mesh=mesh)
+        result, state = run_training(
+            tiny_cfg, state, step, eval_apply,
+            work_dir=str(tmp_path / "work_mesh"),
+            num_steps=2, eval_limit=1, log_every=1, mesh=mesh,
+        )
+        assert np.isfinite(result.last_metrics["loss"])
+
     def test_role_keyed_export_import(self, tiny_cfg, tmp_path):
         state, step, eval_apply, model = build_experiment(tiny_cfg)
         out = str(tmp_path / "weights")

@@ -32,6 +32,34 @@ class TestHRNet:
         # 1/4 resolution, concat of all branch channels
         assert out.shape == (1, 16, 24, 8 + 16 + 32 + 64)
 
+    def test_partial_remat_matches(self):
+        """remat granularity is a memory/recompute dial only: full, partial
+        (stage tuple), and no remat produce identical outputs and grads."""
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+
+        def loss_of(model, variables):
+            def f(params):
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return f
+
+        base = HRNet(arch=TINY, remat=False)
+        variables = base.init(k, x, train=False)
+        ref_val, ref_grad = jax.value_and_grad(loss_of(base, variables))(
+            variables["params"])
+        for remat in (True, ("stage3", "stage4"), ("stage2",)):
+            m = HRNet(arch=TINY, remat=remat)
+            val, grad = jax.value_and_grad(loss_of(m, variables))(
+                variables["params"])
+            assert np.allclose(float(val), float(ref_val), rtol=1e-6)
+            for a, b in zip(jax.tree_util.tree_leaves(ref_grad),
+                            jax.tree_util.tree_leaves(grad)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+
     def test_train_updates_bn(self):
         model = HRNet(arch=TINY)
         k = jax.random.PRNGKey(0)

@@ -4,24 +4,33 @@ The full production soak is `python -m diga_tpu.cli.soak --steps 2000`
 on the chip; this exercises the same code path end-to-end: fixtures ->
 training -> mid-run checkpoint + exact resume -> loss/mIoU assertions ->
 curve artifacts.
+
+Runs in a FRESH python subprocess: like the selftrain e2e compile
+(tests/_selftrain_sub.py), this XLA CPU compile balloons (observed
+42 GB / >35 min) when it happens late in a long pytest process, but is
+~2-3 min in a fresh process.  The soak CLI asserts its own trajectory
+invariants (trailing-window loss < leading-window, best mIoU >= first,
+exact mid-run resume) and exits nonzero on violation, so rc==0 carries
+the assertions.
 """
 
 import os
-
-import numpy as np
+import subprocess
+import sys
 
 
 def test_soak_fixtures_tiny(tmp_path):
-    import diga_tpu.cli.soak as M
-
     work = str(tmp_path / "soak")
-    out = M.main([
-        "--preset", "dg_gta5", "--tiny", "--mode", "fixtures",
-        "--steps", "80", "--work_dir", work,
-    ])
-    assert out["tail"] < out["head"]
-    assert out["best_miou"] >= out["first_miou"]
-    assert np.isfinite(out["tail"])
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "diga_tpu.cli.soak",
+         "--preset", "dg_gta5", "--tiny", "--mode", "fixtures",
+         "--steps", "80", "--work_dir", work],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "soak ok: 80 steps" in proc.stdout
     # recorded artifacts: metrics + at least the loss curve PNG
     assert os.path.exists(os.path.join(work, "metrics.jsonl"))
     assert os.path.exists(os.path.join(work, "loss.png"))

@@ -79,6 +79,26 @@ class TestDGEvalLoaders:
         valid = s["label"][s["label"] != 255]
         assert valid.size == 0 or valid.max() < 19
 
+    def test_bdd_bare_id_lists(self, tmp_path):
+        # the reference's shipped lists are bare ids; the constructor must
+        # expand the BDDLoader.py:66-67 path templates
+        root = str(tmp_path / "bdd_ref")
+        img_list, lbl_list = synthetic.make_bdd_reference_fixture(root)
+        ds = bdd_dataset(root, img_list, lbl_list, resize_hw=(48, 64))
+        s = ds[0]
+        assert s["image"].shape == (48, 64, 3)
+        valid = s["label"][s["label"] != 255]
+        assert valid.size == 0 or valid.max() < 19
+
+    def test_mapillary_bare_id_lists(self, tmp_path):
+        root = str(tmp_path / "map_ref")
+        img_list, lbl_list = synthetic.make_mapillary_reference_fixture(root)
+        ds = mapillary_dataset(root, img_list, lbl_list, resize_hw=(48, 64))
+        s = ds[0]
+        assert s["image"].shape == (48, 64, 3)
+        valid = s["label"][s["label"] != 255]
+        assert valid.size == 0 or valid.max() < 19
+
     def test_dg_preset_eval_sets(self):
         cfg = get_preset("dg_gta5")
         sets = cfg.extra["eval_datasets"]
