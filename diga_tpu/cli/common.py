@@ -29,6 +29,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before building "
+                        "the mesh (TPU pods / SLURM auto-detect coordinator "
+                        "envs); loaders then feed per-host shards "
+                        "(docs/SCALING.md)")
     p.add_argument("--extra", action="append", default=[], metavar="KEY=VALUE",
                    help="override an ExperimentConfig.extra entry (repeatable); "
                         "values parse as JSON when possible, else raw strings "
@@ -77,6 +82,10 @@ def make_mesh_from_args(args):
 
     import jax
 
+    if getattr(args, "multihost", False):
+        # auto-detects coordinator/process envs on TPU pods and SLURM;
+        # must run before any device query
+        jax.distributed.initialize()
     n = args.n_devices
     if n is None:
         n = len(jax.devices())

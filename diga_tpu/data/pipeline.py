@@ -110,16 +110,28 @@ def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
 
     ``sharding`` may be a ``jax.sharding.NamedSharding`` to scatter the
     batch over a mesh's data axis; arrays land sharded without a gather.
+
+    Multi-host: each process feeds only its LOCAL batch rows (the loaders
+    are host-sharded, EpochShuffleSampler); the rows are assembled into
+    one global array spanning the mesh via
+    ``jax.make_array_from_process_local_data`` — no cross-host data
+    transfer ever happens for input batches.
     """
     buf = []
+    multiproc = jax.process_count() > 1
+
+    def put_one(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multiproc:
+            gshape = (v.shape[0] * jax.process_count(), *v.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, v, gshape)
+        return jax.device_put(v, sharding)
 
     def put(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
-        if sharding is not None:
-            dev = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
-        else:
-            dev = {k: jax.device_put(v) for k, v in arrays.items()}
+        dev = {k: put_one(v) for k, v in arrays.items()}
         dev.update(rest)
         return dev
 

@@ -86,8 +86,14 @@ class MultiStreamLoader:
     """
 
     def __init__(self, datasets_and_batches, seed: int, num_workers: int):
+        import jax
+
+        # multi-host: each process loads only its shard of every file list
+        # (deterministic per-host striding, EpochShuffleSampler)
+        hid, hcnt = jax.process_index(), jax.process_count()
         self.loaders = [
-            BatchLoader(ds, batch_size=b, seed=seed + 17 * i, num_workers=num_workers)
+            BatchLoader(ds, batch_size=b, seed=seed + 17 * i,
+                        num_workers=num_workers, host_id=hid, host_count=hcnt)
             for i, (ds, b) in enumerate(datasets_and_batches)
         ]
 
@@ -216,9 +222,16 @@ def run_training(
     with_target = cfg.stage == "selftrain"
 
     # per-chip batch semantics: each mesh device carries the recipe batch
-    # (see make_train_iterator.batch_scale)
-    it, src, tgt = make_train_iterator(
-        cfg, with_target, batch_scale=mesh.size if mesh is not None else 1)
+    # (see make_train_iterator.batch_scale).  Multi-host: each process
+    # loads only the rows for its own devices; device_prefetch assembles
+    # them into global arrays (data/pipeline.py).
+    if mesh is not None:
+        pid = jax.process_index()
+        local = sum(int(d.process_index == pid) for d in mesh.devices.flat)
+        batch_scale = max(local, 1)
+    else:
+        batch_scale = 1
+    it, src, tgt = make_train_iterator(cfg, with_target, batch_scale=batch_scale)
     sharding = batch_sharding(mesh) if mesh is not None else None
     it = device_prefetch(it, sharding=sharding, buffer_size=2)
 

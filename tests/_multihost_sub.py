@@ -67,6 +67,48 @@ def main():
     # every process must see the identical global loss
     print(f"RESULT loss={loss:.6f} n_global={n_global} n_local={n_local}",
           flush=True)
+
+    # ---- the REAL harness over the same 2-process mesh: host-sharded
+    # loaders -> make_array_from_process_local_data assembly -> jitted DG
+    # step with cross-process gradient all-reduce (run_training end to end)
+    fixture_root = sys.argv[4] if len(sys.argv) > 4 else None
+    if fixture_root:
+        import dataclasses
+
+        from diga_tpu.configs.presets import (DataConfig, EvalConfig,
+                                              ExperimentConfig, LoaderSpec,
+                                              TrainConfig)
+        from diga_tpu.train.build import build_experiment
+        from diga_tpu.train.loop import run_training
+
+        cfg = ExperimentConfig(
+            name="mh_dg", stage="dg",
+            data=DataConfig(
+                source_root=os.path.join(fixture_root, "gta"),
+                target_root=os.path.join(fixture_root, "city"),
+                source_list=os.path.join(fixture_root, "gta", "train.txt"),
+                target_img_list=os.path.join(fixture_root, "city", "train_img.txt"),
+                target_lbl_list=os.path.join(fixture_root, "city", "train_lbl.txt"),
+                val_img_list=os.path.join(fixture_root, "city", "train_img.txt"),
+                val_lbl_list=os.path.join(fixture_root, "city", "train_lbl.txt"),
+                num_workers=1,
+                source_streams=(LoaderSpec("gta5", (40, 72), 1),),
+                target_streams=(LoaderSpec("cityscapes", (40, 72), 1),),
+            ),
+            train=TrainConfig(crop_hw=(32, 64), num_steps=2, eval_every=0,
+                              compute_dtype="float32", remat=False),
+            eval=EvalConfig(out_hw=(40, 72), ds_hw=(20, 36)),
+            extra={"layers": (1, 1, 1, 1)},
+        )
+        state, step_fn, eval_apply, _ = build_experiment(cfg, mesh=mesh)
+        result, state = run_training(
+            cfg, state, step_fn, None,
+            work_dir=os.path.join(fixture_root, f"work_p{pid}"),
+            num_steps=2, log_every=1, mesh=mesh)
+        loss2 = float(result.last_metrics["loss"])
+        # global batch = recipe(1) x 4 devices, each process loaded 2 rows
+        print(f"HARNESS loss={loss2:.6f}", flush=True)
+
     jax.distributed.shutdown()
 
 

@@ -24,15 +24,25 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_step():
+def test_two_process_distributed_step(tmp_path):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ,
                PYTHONPATH=os.pathsep.join(
                    p for p in (repo_root, os.environ.get("PYTHONPATH")) if p))
     script = os.path.join(os.path.dirname(__file__), "_multihost_sub.py")
+
+    # shared fixtures: both processes see the same dataset and stride it
+    # per host (EpochShuffleSampler)
+    from diga_tpu.data import synthetic
+
+    root = str(tmp_path / "mh")
+    synthetic.make_gta5_fixture(os.path.join(root, "gta"), n=4, h=40, w=72)
+    synthetic.make_cityscapes_fixture(os.path.join(root, "city"), n=4,
+                                      h=40, w=72, split="train")
+
     procs = [
-        subprocess.Popen([sys.executable, script, coord, "2", str(pid)],
+        subprocess.Popen([sys.executable, script, coord, "2", str(pid), root],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True, env=env)
         for pid in (0, 1)
@@ -40,7 +50,7 @@ def test_two_process_distributed_step():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=300)
+            out, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -48,11 +58,17 @@ def test_two_process_distributed_step():
         assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
         outs.append(out)
 
-    losses = []
+    losses, hlosses = [], []
     for out in outs:
         m = re.search(r"RESULT loss=(\S+) n_global=(\d+) n_local=(\d+)", out)
         assert m, out
         assert int(m.group(2)) == 4 and int(m.group(3)) == 2
         losses.append(float(m.group(1)))
+        h = re.search(r"HARNESS loss=(\S+)", out)
+        assert h, out
+        hlosses.append(float(h.group(1)))
     # both processes computed the same GLOBAL loss (all-reduce crossed procs)
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+    # ... and the REAL harness (host-sharded loaders -> global batch
+    # assembly -> jitted DG step) agrees across processes too
+    assert hlosses[0] == pytest.approx(hlosses[1], abs=1e-5)
