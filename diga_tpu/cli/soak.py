@@ -72,13 +72,20 @@ def soak_fixtures(args):
             os.path.join(root, "city"), n=6, h=fh, w=fw, split="train")
         val_img, val_lbl = synthetic.make_cityscapes_fixture(
             os.path.join(root, "city"), n=4, h=fh, w=fw, split="val")
+        # self-training presets additionally need pseudo-label triples
+        # (reference-format palette PNGs) — the consensus/centroid path
+        # then runs end to end on fixtures
+        pseudo_dir = cfg.data.pseudo_dir
+        if cfg.stage == "selftrain":
+            pseudo_dir = synthetic.make_pseudo_fixture(
+                os.path.join(root, "city"), img_list, fh, fw)
         cfg = dataclasses.replace(cfg, data=dataclasses.replace(
             cfg.data,
             source_root=os.path.join(root, "gta"),
             target_root=os.path.join(root, "city"),
             source_list=gta_list, target_img_list=img_list,
             target_lbl_list=lbl_list, val_img_list=val_img,
-            val_lbl_list=val_lbl,
+            val_lbl_list=val_lbl, pseudo_dir=pseudo_dir,
             source_streams=tuple(dataclasses.replace(s, resize_hw=(fh, fw))
                                  for s in cfg.data.source_streams),
             target_streams=tuple(dataclasses.replace(s, resize_hw=(fh, fw))

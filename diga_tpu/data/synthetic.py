@@ -100,6 +100,28 @@ def make_flat_fixture(root: str, n: int = 2, h: int = 48, w: int = 64,
     return img_list, lbl_list
 
 
+def make_pseudo_fixture(city_root: str, img_list_path: str, h: int, w: int,
+                        seed: int = 0, dirname: str = "pseudo") -> str:
+    """Palette pseudo-label PNGs named like the reference generator's
+    output (pseudolabel_generator.py:100-105), one per image in the list.
+    Returns the pseudo dir name (relative to city_root)."""
+    from .label_maps import CITYSCAPES_COLORS_19, make_png_palette
+
+    rng = np.random.default_rng(seed)
+    out = os.path.join(city_root, dirname)
+    os.makedirs(out, exist_ok=True)
+    palette = make_png_palette(CITYSCAPES_COLORS_19)
+    for line in open(img_list_path):
+        name = os.path.basename(line.strip())
+        if not name:
+            continue
+        lbl = rng.integers(0, 19, size=(h, w)).astype(np.uint8)
+        img = Image.fromarray(lbl).convert("P")
+        img.putpalette(palette)
+        img.save(os.path.join(out, name))
+    return dirname
+
+
 def make_bdd_reference_fixture(root: str, n: int = 2, h: int = 48, w: int = 64,
                                seed: int = 4) -> tuple[str, str]:
     """Reference-layout BDD100k val fixture: images/val/<id>.jpg +
