@@ -62,6 +62,7 @@ def main(argv=None):
         lambda_seg_edge=cfg.extra.get("lambda_seg_edge", 20.0),
         lambda_percep=cfg.extra.get("lambda_percep", 0.1) if args.vgg_weights else 0.0,
         lambda_self=cfg.extra.get("lambda_self", 0.001),
+        remat=cfg.extra.get("translator_remat", None),  # None = auto
     )
 
     vgg_apply, vgg_params = None, None

@@ -30,10 +30,14 @@ class TranslatorConfig:
     lambda_seg_edge: float = 20.0
     lambda_percep: float = 0.1
     lambda_self: float = 0.001
-    # rematerialize each enc/dec/dis apply in the generator backward: the
-    # G loss chains ~10 full-res generator forwards, whose residuals
-    # exceed 16 GB HBM at 512x896 without it (measured)
-    remat: bool = True
+    # rematerialize each enc/dec/dis apply in the generator backward.
+    # None = auto: off unless the VGG perceptual term is active.  The
+    # round-1 measurement (G residuals 19.4 GB at 512x896) predates the
+    # subpixel decoder and the single-pass vjp-shared forward; with both,
+    # the no-remat step fits 15.75 GB HBM and runs 966 -> 764 ms/step.
+    # The VGG19 forwards add full-res residual stacks back, so auto
+    # re-enables remat when lambda_percep > 0 with a vgg_apply.
+    remat: bool | None = None
     # single-pass step: compute the generator fakes ONCE via jax.vjp and
     # reuse them for the D update (detached) and the G update (through
     # the saved vjp), instead of the reference's two full generator
@@ -80,9 +84,12 @@ def build_translator_step(modules: dict, optimizer, cfg: TranslatorConfig,
     dec_s2t_m, dec_t2s_m = modules["dec_s2t"], modules["dec_t2s"]
     dis_s2t_m, dis_t2s_m = modules["dis_s2t"], modules["dis_t2s"]
 
+    do_remat = (cfg.remat if cfg.remat is not None
+                else (vgg_apply is not None and cfg.lambda_percep > 0))
+
     def apply(m, p, x):
         fn = lambda p, x: m.apply({"params": p}, x)
-        if cfg.remat:
+        if do_remat:
             fn = jax.checkpoint(fn)
         return fn(p, x)
 
