@@ -198,6 +198,11 @@ class FusedGroupNorm(nn.Module):
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    # "xla" (default, differentiable) or "pallas" — a forward-only Pallas
+    # pair of VMEM passes for the inference path, where XLA's batch-1
+    # stat-reduce fusions run far below HBM bandwidth (docs/PERF.md,
+    # ops/pallas_gn.py)
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -208,6 +213,10 @@ class FusedGroupNorm(nn.Module):
         cg = c // g
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.impl == "pallas":
+            from ..ops.pallas_gn import group_norm_pallas
+
+            return group_norm_pallas(x, scale, bias, g, self.epsilon)
         # per-channel sums in native NHWC layout, then the group fold on the
         # tiny [b, c] results (reshaping x before the big reduce puts the
         # reduction across lanes — measured ~3.5 ms per GN site)
@@ -252,25 +261,29 @@ class ASPPHead(nn.Module):
     droprate: float = 0.1
     use_se: bool = True
     dtype: Dtype = jnp.float32
+    gn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool):
         branches = []
         y = nn.Conv(256, (1, 1), use_bias=True, dtype=self.dtype,
                     kernel_init=kaiming_fan_in, name="branch0_conv")(x)
-        y = FusedGroupNorm(num_groups=32, dtype=self.dtype, name="branch0_gn")(y)
+        y = FusedGroupNorm(num_groups=32, dtype=self.dtype, impl=self.gn_impl,
+                           name="branch0_gn")(y)
         branches.append(nn.relu(y))
         for bi, d in enumerate(self.dilations, start=1):
             y = FastConv3x3(256, dilation=d, use_bias=True, dtype=self.dtype,
                             kernel_init=kaiming_fan_in, name=f"branch{bi}_conv")(x)
-            y = FusedGroupNorm(num_groups=32, dtype=self.dtype, name=f"branch{bi}_gn")(y)
+            y = FusedGroupNorm(num_groups=32, dtype=self.dtype, impl=self.gn_impl,
+                               name=f"branch{bi}_gn")(y)
             branches.append(nn.relu(y))
         out = jnp.concatenate(branches, axis=-1)
         if self.use_se:
             out = SEBlock(dtype=self.dtype, name="se")(out)
         out = FastConv3x3(256, dilation=1, use_bias=True, dtype=self.dtype,
                           kernel_init=kaiming_fan_in, name="bottleneck_conv")(out)
-        out = FusedGroupNorm(num_groups=32, dtype=self.dtype, name="bottleneck_gn")(out)
+        out = FusedGroupNorm(num_groups=32, dtype=self.dtype, impl=self.gn_impl,
+                             name="bottleneck_gn")(out)
         # head: channel dropout then 1x1 classifier; 'feat' is the 256-d
         # post-dropout tensor the prototype machinery consumes (:205-211)
         feat = nn.Dropout(self.droprate, broadcast_dims=(1, 2),
@@ -307,6 +320,9 @@ class DeepLabV2(nn.Module):
     # per-conv SpaceToBatchConverter (and its ~140 tiled-layout copies per
     # step, measured) never fires.  Auto-skipped when H/W aren't /4.
     s2b: bool = True
+    # ASPP-head GroupNorm implementation: "xla" (differentiable; training)
+    # or "pallas" (forward-only inference path, ops/pallas_gn.py)
+    gn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -383,7 +399,8 @@ class DeepLabV2(nn.Module):
             x = stage(256, self.layers[2], dilation=2, dtype=self.dtype, name="layer3")(x, train)
             deep = stage(512, self.layers[3], dilation=4, dtype=self.dtype, name="layer4")(x, train)
         feat, logits = ASPPHead(self.num_classes, droprate=self.droprate,
-                                dtype=self.dtype, name="head")(deep, train)
+                                dtype=self.dtype, gn_impl=self.gn_impl,
+                                name="head")(deep, train)
         return shallow, deep, logits, feat
 
 

@@ -222,6 +222,12 @@ def build_experiment(
     # both (tests/test_space_to_batch.py pins the output equivalence).
     eval_model = (dataclasses.replace(model, s2b=False)
                   if hasattr(model, "s2b") else model)
+    # opt-in Pallas GroupNorm for the inference path (forward-only; the
+    # training step keeps the differentiable XLA form).  Set by
+    # evaluate_val on unsharded TPU runs or via --extra eval_gn_impl=pallas.
+    eval_gn = cfg.extra.get("eval_gn_impl")
+    if eval_gn and hasattr(eval_model, "gn_impl"):
+        eval_model = dataclasses.replace(eval_model, gn_impl=eval_gn)
 
     def eval_apply(state: SegTrainState, img):
         if rgb_input:
