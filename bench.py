@@ -201,8 +201,46 @@ def bench_translator():
           {"ms_per_step": round(dt * 1e3, 1)})
 
 
+def bench_eval():
+    """Two-scale full-res eval latency (1024x2048 + 512x1024 max-merge)."""
+    from diga_tpu.eval.evaluator import two_scale_logits
+    from diga_tpu.models.resnet_deeplab import DeepLabV2
+
+    rng = jax.random.PRNGKey(0)
+    rr = np.random.default_rng(0)
+    out_hw, ds_hw = (1024, 2048), (512, 1024)
+    img = jnp.asarray(rr.normal(size=(1, *out_hw, 3)).astype(np.float32) * 0.5)
+    # gn_impl='pallas' measured SLOWER here (71.3 vs 62.6 ms/img): the
+    # two-pass streaming kernel reads the activation from HBM twice, while
+    # XLA fuses the normalize into its consumers (docs/PERF.md)
+    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, s2b=False)
+    variables = jax.jit(
+        lambda: model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, 128, 256, 3), jnp.float32), train=False)
+    )()
+
+    def apply_fn(x):
+        _, _, logits, _ = model.apply(variables, x, train=False)
+        return logits
+
+    @jax.jit
+    def run(img):
+        return jnp.argmax(two_scale_logits(apply_fn, img, out_hw, ds_hw), -1)
+
+    pred = run(img)
+    np.asarray(pred[0, 0, :4])
+    t0 = time.perf_counter()
+    for _ in range(N_IT):
+        pred = run(img)
+    np.asarray(pred[0, 0, :4])
+    dt = (time.perf_counter() - t0) / N_IT
+    _emit("cityscapes_twoscale_eval_imgs_per_sec_per_chip", 1.0 / dt,
+          {"ms_per_img": round(dt * 1e3, 1)})
+
+
 STAGES = {
     "warmup": bench_warmup,
+    "eval": bench_eval,
     "selftrain": lambda: bench_preset(
         "gta2city_selftrain", "gta2city_selftrain_train_imgs_per_sec_per_chip", True),
     "semiseg": lambda: bench_preset(

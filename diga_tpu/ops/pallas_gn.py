@@ -18,10 +18,20 @@ the activation through VMEM at HBM bandwidth:
   3. ``_norm_kernel``: y = x * mul + add with the per-(image, channel)
      vectors broadcast from VMEM.
 
-Forward-only (no custom VJP): it is wired into the inference/eval model
-(``DeepLabV2(gn_impl='pallas')``) — the train step keeps the XLA form,
-whose backward XLA already fuses well.  Equivalence vs FusedGroupNorm is
-pinned by tests/test_pallas_kernels.py::TestPallasGroupNorm.
+Forward-only (no custom VJP): wired into the inference/eval model as an
+OPT-IN (``DeepLabV2(gn_impl='pallas')`` / ``--extra eval_gn_impl=pallas``)
+— the train step keeps the XLA form, whose backward XLA already fuses
+well.  Equivalence vs FusedGroupNorm is pinned by
+tests/test_pallas_kernels.py::TestPallasGroupNorm.
+
+MEASURED A/B (v5e, two-scale 1024x2048 eval): 71.3 ms/img vs 62.6 for
+the XLA form — the Pallas pair streams the activation through HBM twice
+(stats pass + normalize pass), while XLA's seemingly-slow stat reduce is
+followed by a normalize that FUSES into its consumers, so the activation
+is only re-read once.  Kept opt-in as the measured record of the attempt
+(docs/PERF.md "measured dead ends"); a win here would need a single
+fused stats+normalize kernel with the whole (image, group) slab resident
+in VMEM, which the 256-channel head tensors at full-res eval exceed.
 """
 
 from __future__ import annotations

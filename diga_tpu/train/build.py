@@ -223,8 +223,10 @@ def build_experiment(
     eval_model = (dataclasses.replace(model, s2b=False)
                   if hasattr(model, "s2b") else model)
     # opt-in Pallas GroupNorm for the inference path (forward-only; the
-    # training step keeps the differentiable XLA form).  Set by
-    # evaluate_val on unsharded TPU runs or via --extra eval_gn_impl=pallas.
+    # training step keeps the differentiable XLA form) via
+    # --extra eval_gn_impl=pallas.  Measured SLOWER than the XLA form on
+    # the two-scale eval (71.3 vs 62.6 ms/img — ops/pallas_gn.py), so it
+    # stays opt-in; kept as the recorded attempt at the eval GN lever.
     eval_gn = cfg.extra.get("eval_gn_impl")
     if eval_gn and hasattr(eval_model, "gn_impl"):
         eval_model = dataclasses.replace(eval_model, gn_impl=eval_gn)

@@ -42,3 +42,55 @@ class TestDistillPallas:
         ours = float(distillation_loss_pallas(t, s, 0.5))
         ref = float(distillation_loss(t, s, 0.5))
         assert ours == pytest.approx(ref, rel=1e-5)
+
+
+class TestPallasGroupNorm:
+    """group_norm_pallas vs the XLA FusedGroupNorm math (interpret mode)."""
+
+    def _ref(self, x, scale, bias, g=32, eps=1e-5):
+        # the FusedGroupNorm formula (models/resnet_deeplab.py), jnp form
+        b, h, w, c = x.shape
+        cg = c // g
+        xf = x.astype(jnp.float32)
+        s_c = jnp.sum(xf, axis=(1, 2))
+        s2_c = jnp.sum(xf * xf, axis=(1, 2))
+        n = float(h * w * cg)
+        mu = jnp.sum(s_c.reshape(b, g, cg), axis=-1) / n
+        var = jnp.maximum(jnp.sum(s2_c.reshape(b, g, cg), axis=-1) / n - mu * mu, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        mu_c = jnp.repeat(mu, cg, axis=1)
+        inv_s = jnp.repeat(inv, cg, axis=1) * scale[None]
+        mul = inv_s.astype(x.dtype)
+        add = (bias[None] - mu_c * inv_s).astype(x.dtype)
+        return x * mul[:, None, None, :] + add[:, None, None, :]
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("shape", [(1, 17, 29, 256), (2, 8, 16, 64)])
+    def test_matches_fused_groupnorm(self, dtype, shape):
+        from diga_tpu.ops.pallas_gn import group_norm_pallas
+
+        b, h, w, c = shape
+        g = 32
+        x = jnp.asarray(RNG.normal(size=shape), dtype)
+        scale = jnp.asarray(RNG.normal(size=(c,)).astype(np.float32) * 0.1 + 1.0)
+        bias = jnp.asarray(RNG.normal(size=(c,)).astype(np.float32) * 0.1)
+        ours = group_norm_pallas(x, scale, bias, g)
+        ref = self._ref(x, scale, bias, g)
+        assert ours.dtype == x.dtype
+        tol = 1e-5 if dtype == jnp.float32 else 3e-2
+        np.testing.assert_allclose(
+            np.asarray(ours, np.float32), np.asarray(ref, np.float32),
+            atol=tol, rtol=tol)
+
+    def test_model_site_equivalence(self):
+        # through the actual FusedGroupNorm module, impl='pallas' vs 'xla'
+        from diga_tpu.models.resnet_deeplab import FusedGroupNorm
+
+        x = jnp.asarray(RNG.normal(size=(1, 9, 13, 256)).astype(np.float32))
+        mod_x = FusedGroupNorm(num_groups=32, dtype=jnp.float32, impl="xla")
+        v = mod_x.init(jax.random.PRNGKey(0), x)
+        y_x = mod_x.apply(v, x)
+        y_p = FusedGroupNorm(num_groups=32, dtype=jnp.float32,
+                             impl="pallas").apply(v, x)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=1e-5, rtol=1e-5)
