@@ -234,8 +234,15 @@ def bench_eval():
         pred = run(img)
     np.asarray(pred[0, 0, :4])
     dt = (time.perf_counter() - t0) / N_IT
-    _emit("cityscapes_twoscale_eval_imgs_per_sec_per_chip", 1.0 / dt,
-          {"ms_per_img": round(dt * 1e3, 1)})
+    # no vs_baseline: the per-chip target is a TRAIN-throughput estimate;
+    # the reference publishes no eval timing to compare against
+    print(json.dumps({
+        "metric": "cityscapes_twoscale_eval_imgs_per_sec_per_chip",
+        "value": round(1.0 / dt, 3), "unit": "imgs/sec",
+        "vs_baseline": None, "ms_per_img": round(dt * 1e3, 1),
+        "estimated_baseline": {"estimated": True,
+                               "basis": "none: reference publishes no eval timing"},
+    }), flush=True)
 
 
 STAGES = {
