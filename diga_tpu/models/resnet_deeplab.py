@@ -199,9 +199,11 @@ class FusedGroupNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     # "xla" (default, differentiable) or "pallas" — a forward-only Pallas
-    # pair of VMEM passes for the inference path, where XLA's batch-1
-    # stat-reduce fusions run far below HBM bandwidth (docs/PERF.md,
-    # ops/pallas_gn.py)
+    # pair of VMEM passes for the inference path.  Measured SLOWER than
+    # the XLA form on the two-scale eval (71.3 vs 62.6 ms/img): the pair
+    # re-reads the activation for the normalize pass while XLA fuses the
+    # normalize into consumers.  Kept opt-in as the recorded attempt
+    # (docs/PERF.md, ops/pallas_gn.py).
     impl: str = "xla"
 
     @nn.compact
