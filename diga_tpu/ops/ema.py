@@ -1,9 +1,12 @@
 """EMA teacher update as one fused tree-lerp.
 
 reference: util/utils.py:93-116 — alpha ramps as min(1 - 1/(step+1), cap)
-in stage 0; self-training uses a fixed 0.999.  The reference loops over
-parameters in Python; here it is a single jitted ``tree_map`` so XLA fuses
-the whole update into one pass over HBM.
+with cap 0.999.  BOTH warm-up and self-training use the ramp: every call
+site invokes update_teacher_params(teacher, student, i_iter) with the
+stage0=True default (warm_up.py:205, ..._self_training.py:221), so the
+``stage0=False`` fixed-0.999 branch is dead code in the reference.  The
+reference loops over parameters in Python; here it is a single jitted
+``tree_map`` so XLA fuses the whole update into one pass over HBM.
 """
 
 from __future__ import annotations
