@@ -204,11 +204,24 @@ class HRNet(nn.Module):
     # none, or a tuple of stage names ("stage2".."stage4") for partial
     # remat — the memory/recompute dial, same scheme as DeepLabV2.remat.
     remat: Any = False
+    # remat policy: "bn_stats" saves each train-mode BN's (C,)-sized
+    # mean/var across the remat boundary (models/norms.py checkpoint_name)
+    # so the backward recompute skips re-reducing the full activations —
+    # HRNet has ~470 BN applications/step counting recompute (docs/PERF.md)
+    # at trivial memory cost.  None = plain remat.
+    remat_policy: str | None = None
 
     def _remat_stage(self, si: int) -> bool:
         if isinstance(self.remat, (tuple, list)):
             return f"stage{si}" in self.remat
         return bool(self.remat)
+
+    def _remat_cls(self):
+        kw = {}
+        if self.remat_policy == "bn_stats":
+            kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                "bn_stats")
+        return nn.remat(HRModule, static_argnums=(2,), **kw)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -243,8 +256,7 @@ class HRNet(nn.Module):
                                    name=f"trans{si}_{i}_{j}")(v, train)
                     new_xs.append(v)
             xs = new_xs
-            module_cls = (nn.remat(HRModule, static_argnums=(2,))
-                          if self._remat_stage(si) else HRModule)
+            module_cls = self._remat_cls() if self._remat_stage(si) else HRModule
             for m in range(num_modules):
                 xs = module_cls(channels, num_blocks, dtype=self.dtype,
                                 name=f"stage{si}_module{m}")(xs, train)
@@ -325,12 +337,13 @@ class HRNetOCR(nn.Module):
     arch_name: str = "w48"
     dtype: Dtype = jnp.float32
     remat: Any = False  # True | False | tuple of "stage2".."stage4"
+    remat_policy: str | None = None  # see HRNet.remat_policy
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         arch = W48 if self.arch_name == "w48" else W32
         feats = HRNet(arch=arch, dtype=self.dtype, remat=self.remat,
-                      name="hrnet")(x, train)
+                      remat_policy=self.remat_policy, name="hrnet")(x, train)
         aux, logits, aug = OCRHead(
             self.num_classes, arch["ocr_mid_channels"], arch["ocr_key_channels"],
             dtype=self.dtype, name="ocr")(feats, train)

@@ -58,6 +58,8 @@ class BatchNorm2D(nn.Module):
             # by the padded count would silently shrink the statistics
             raise ValueError("BatchNorm2D: mask requires n_valid")
         if train:
+            from jax.ad_checkpoint import checkpoint_name
+
             from ..ops.stats import sums_and_squares
 
             s, s2 = sums_and_squares(x, (0, 1, 2), mask)
@@ -65,6 +67,12 @@ class BatchNorm2D(nn.Module):
                 n_valid = float(x.shape[0] * x.shape[1] * x.shape[2])
             mean = s / n_valid
             var = jnp.maximum(s2 / n_valid - mean * mean, 0.0)
+            # named for remat policies: saving these (C,)-sized stats lets
+            # a policy'd nn.remat skip re-reducing the full activation in
+            # the backward recompute (see HRNet.remat_policy).  A no-op
+            # identity under no/plain remat.
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean

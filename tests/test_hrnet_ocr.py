@@ -60,6 +60,37 @@ class TestHRNet:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-5, atol=1e-6)
 
+    def test_remat_policy_bn_stats_matches(self):
+        """remat_policy='bn_stats' (save the (C,)-sized train-mode BN
+        stats across the remat boundary, skipping the full-activation
+        re-reduction in the backward recompute) is numerically a no-op:
+        outputs, grads, and the updated running stats all match plain
+        remat exactly."""
+        k = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+        def run(model, variables):
+            def f(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32) ** 2), mut
+            (val, mut), grad = jax.value_and_grad(f, has_aux=True)(
+                variables["params"])
+            return val, grad, mut["batch_stats"]
+
+        base = HRNet(arch=TINY, remat=True)
+        variables = base.init(k, x, train=False)
+        ref = run(base, variables)
+        got = run(HRNet(arch=TINY, remat=True, remat_policy="bn_stats"),
+                  variables)
+        assert np.allclose(float(got[0]), float(ref[0]), rtol=1e-6)
+        for part_ref, part_got in zip(ref[1:], got[1:]):
+            for a, b in zip(jax.tree_util.tree_leaves(part_ref),
+                            jax.tree_util.tree_leaves(part_got)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+
     def test_train_updates_bn(self):
         model = HRNet(arch=TINY)
         k = jax.random.PRNGKey(0)
