@@ -3,7 +3,10 @@
 Default (what the round driver runs): the flagship GTA5->Cityscapes
 warm-up step (DeepLabv2-ResNet101 student+teacher, crop 512x896, batch 3
 source images doubled into clean+CrDoMix views, frozen translator apply,
-grouped SGD) — ONE JSON line.
+grouped SGD) — ONE JSON line.  Every train-stage bench builds its program
+through build_experiment(get_preset(name)), so the published number is
+what `python -m diga_tpu.cli.train_warm_up --preset gta2city_warmup`
+actually runs (same remat/s2b/step config).
 
 `python bench.py --stage {warmup,selftrain,translator,semiseg,dg,all}`
 benches other pipeline stages (one JSON line each, same schema).
@@ -45,15 +48,7 @@ BASELINE_NOTE = {
              "(reference publishes no benchmark numbers)",
 }
 
-CROP = (512, 896)
-BATCH = 3                         # reference effective batch (warm_up.py:80-82)
 NCLS = 19
-# batch 3 fits HBM without remat (measured); remat only needed for larger
-# per-chip batches (True, a stage tuple like ("layer1","layer2"), or False)
-REMAT = False
-# stage-hoisted space-to-batch: fastest at the reference batch 3; costs
-# extra HBM, so large tuned batches (12) need S2B=False + REMAT=True
-S2B = True
 N_IT = 10
 
 
@@ -83,43 +78,9 @@ def _time_loop(step, state, batch):
     return (time.perf_counter() - t0) / N_IT
 
 
-def build_warmup():
-    """Hand-built flagship step (identical to the round-1 bench program)."""
-    from diga_tpu.models.resnet_deeplab import DeepLabV2, head_param_mask
-    from diga_tpu.models.translator import ImgDecoder, ImgEncoder
-    from diga_tpu.train.optim import sgd_grouped
-    from diga_tpu.train.schedules import poly_schedule
-    from diga_tpu.train.state import create_seg_state
-    from diga_tpu.train.steps import StepConfig, build_warmup_step
+def _synth_batch(rr, cfg):
+    from diga_tpu.train.build import wants_target
 
-    rng = jax.random.PRNGKey(0)
-    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, remat=REMAT, s2b=S2B)
-
-    x = jnp.zeros((1, *CROP, 3), jnp.float32)
-    variables = jax.jit(
-        lambda: model.init({"params": rng, "dropout": rng}, x, train=False)
-    )()
-    opt = sgd_grouped(poly_schedule(2.5e-4, 80_000), head_param_mask(variables["params"]))
-
-    enc = ImgEncoder(dtype=jnp.bfloat16)
-    dec = ImgDecoder(dtype=jnp.bfloat16, subpixel_up=True)
-    small = jnp.zeros((1, 64, 128, 3), jnp.float32)
-    enc_p = jax.jit(lambda: enc.init(rng, small)["params"])()
-    dec_p = jax.jit(lambda: dec.init(rng, enc.apply({"params": enc_p}, small))["params"])()
-    frozen = {"enc_s": enc_p, "dec_s2t": dec_p}
-
-    def translator_apply(fz, img):
-        return dec.apply({"params": fz["dec_s2t"]}, enc.apply({"params": fz["enc_s"]}, img))
-
-    state = create_seg_state(model, opt, rng, CROP, frozen=frozen)
-    step = jax.jit(
-        build_warmup_step(model, translator_apply, opt, StepConfig(crop_hw=CROP)),
-        donate_argnums=(0,),
-    )
-    return state, step
-
-
-def _synth_batch(rr, cfg, with_target):
     h, w = cfg.train.crop_hw
     bs = sum(s.batch for s in cfg.data.source_streams)
     bt = sum(s.batch for s in cfg.data.target_streams)
@@ -128,32 +89,21 @@ def _synth_batch(rr, cfg, with_target):
         "s_img": jnp.asarray(rr.normal(size=(bs, h, w, 3)).astype(np.float32) * 0.5),
         "s_lbl": jnp.asarray(rr.integers(0, ncls, size=(bs, h, w)).astype(np.int32)),
     }
-    if with_target:
+    if wants_target(cfg):
         batch["t_img"] = jnp.asarray(rr.normal(size=(bt, h, w, 3)).astype(np.float32) * 0.5)
+    if cfg.stage == "selftrain":
         batch["t_pseudo"] = jnp.asarray(rr.integers(0, ncls, size=(bt, h, w)).astype(np.int32))
     return batch
 
 
-def bench_warmup():
-    state, step = build_warmup()
-    rr = np.random.default_rng(0)
-    batch = {
-        "s_img": jnp.asarray(rr.normal(size=(BATCH, *CROP, 3)).astype(np.float32) * 0.5),
-        "s_lbl": jnp.asarray(rr.integers(0, NCLS, size=(BATCH, *CROP)).astype(np.int32)),
-    }
-    dt = _time_loop(step, state, batch)
-    _emit("gta2city_warmup_train_imgs_per_sec_per_chip", BATCH / dt,
-          {"ms_per_step": round(dt * 1e3, 1)})
-
-
-def bench_preset(preset_name, metric, with_target):
+def bench_preset(preset_name, metric):
     from diga_tpu.configs import presets
     from diga_tpu.train.build import build_experiment
 
     cfg = presets.get_preset(preset_name)
     state, step, _, _ = build_experiment(cfg)
     rr = np.random.default_rng(0)
-    batch = _synth_batch(rr, cfg, with_target)
+    batch = _synth_batch(rr, cfg)
     dt = _time_loop(step, state, batch)
     n_src = batch["s_img"].shape[0]
     _emit(metric, n_src / dt, {"ms_per_step": round(dt * 1e3, 1)})
@@ -201,8 +151,14 @@ def bench_translator():
           {"ms_per_step": round(dt * 1e3, 1)})
 
 
-def bench_eval():
-    """Two-scale full-res eval latency (1024x2048 + 512x1024 max-merge)."""
+def bench_eval(gn_impl: str = "xla"):
+    """Two-scale full-res eval latency (1024x2048 + 512x1024 max-merge).
+
+    ``--eval_gn_impl pallas`` reproduces the recorded GroupNorm A/B
+    (71.3 ms/img Pallas vs 62.6 XLA — docs/PERF.md): the two-pass
+    streaming kernel reads the activation from HBM twice, while XLA
+    fuses the normalize into its consumers.
+    """
     from diga_tpu.eval.evaluator import two_scale_logits
     from diga_tpu.models.resnet_deeplab import DeepLabV2
 
@@ -210,10 +166,8 @@ def bench_eval():
     rr = np.random.default_rng(0)
     out_hw, ds_hw = (1024, 2048), (512, 1024)
     img = jnp.asarray(rr.normal(size=(1, *out_hw, 3)).astype(np.float32) * 0.5)
-    # gn_impl='pallas' measured SLOWER here (71.3 vs 62.6 ms/img): the
-    # two-pass streaming kernel reads the activation from HBM twice, while
-    # XLA fuses the normalize into its consumers (docs/PERF.md)
-    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, s2b=False)
+    model = DeepLabV2(num_classes=NCLS, dtype=jnp.bfloat16, s2b=False,
+                      gn_impl=gn_impl)
     variables = jax.jit(
         lambda: model.init({"params": rng, "dropout": rng},
                            jnp.zeros((1, 128, 256, 3), jnp.float32), train=False)
@@ -227,34 +181,39 @@ def bench_eval():
     def run(img):
         return jnp.argmax(two_scale_logits(apply_fn, img, out_hw, ds_hw), -1)
 
-    pred = run(img)
-    np.asarray(pred[0, 0, :4])
+    for _ in range(3):
+        pred = run(img)
+    np.asarray(pred[0, 0, :4])  # device sync after warm-up, like _time_loop
     t0 = time.perf_counter()
     for _ in range(N_IT):
         pred = run(img)
     np.asarray(pred[0, 0, :4])
     dt = (time.perf_counter() - t0) / N_IT
-    # no vs_baseline: the per-chip target is a TRAIN-throughput estimate;
-    # the reference publishes no eval timing to compare against
+    # schema note: this line intentionally has NO vs_baseline key — the
+    # per-chip target is a TRAIN-throughput estimate and the reference
+    # publishes no eval timing to compare against
     print(json.dumps({
         "metric": "cityscapes_twoscale_eval_imgs_per_sec_per_chip",
         "value": round(1.0 / dt, 3), "unit": "imgs/sec",
-        "vs_baseline": None, "ms_per_img": round(dt * 1e3, 1),
+        "ms_per_img": round(dt * 1e3, 1), "gn_impl": gn_impl,
         "estimated_baseline": {"estimated": True,
                                "basis": "none: reference publishes no eval timing"},
     }), flush=True)
 
 
 STAGES = {
-    "warmup": bench_warmup,
-    "eval": bench_eval,
-    "selftrain": lambda: bench_preset(
-        "gta2city_selftrain", "gta2city_selftrain_train_imgs_per_sec_per_chip", True),
-    "semiseg": lambda: bench_preset(
-        "semiseg_1_8_warmup", "semiseg_warmup_train_imgs_per_sec_per_chip", False),
-    "dg": lambda: bench_preset(
-        "dg_gta5", "dg_gta5_train_imgs_per_sec_per_chip", False),
-    "translator": bench_translator,
+    # every train stage builds through build_experiment(preset): the bench
+    # measures the exact program `--preset <name>` ships (VERDICT r3 #1)
+    "warmup": lambda **kw: bench_preset(
+        "gta2city_warmup", "gta2city_warmup_train_imgs_per_sec_per_chip"),
+    "eval": lambda **kw: bench_eval(gn_impl=kw.get("eval_gn_impl", "xla")),
+    "selftrain": lambda **kw: bench_preset(
+        "gta2city_selftrain", "gta2city_selftrain_train_imgs_per_sec_per_chip"),
+    "semiseg": lambda **kw: bench_preset(
+        "semiseg_1_8_warmup", "semiseg_warmup_train_imgs_per_sec_per_chip"),
+    "dg": lambda **kw: bench_preset(
+        "dg_gta5", "dg_gta5_train_imgs_per_sec_per_chip"),
+    "translator": lambda **kw: bench_translator(),
 }
 
 
@@ -264,9 +223,12 @@ def main():
                    choices=[*STAGES, "all"],
                    help="which pipeline stage to bench (all = one JSON "
                         "line per stage; default = flagship warm-up only)")
+    p.add_argument("--eval_gn_impl", default="xla", choices=["xla", "pallas"],
+                   help="GroupNorm impl for --stage eval (reproduces the "
+                        "recorded Pallas-vs-XLA A/B, docs/PERF.md)")
     args = p.parse_args()
     for name in (STAGES if args.stage == "all" else [args.stage]):
-        STAGES[name]()
+        STAGES[name](eval_gn_impl=args.eval_gn_impl)
 
 
 if __name__ == "__main__":

@@ -75,8 +75,15 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     # True = remat every stage, False = none, or a tuple of stage names
     # (DeepLab: "layer1".."layer4") for partial remat — see
-    # models/resnet_deeplab.py DeepLabV2.remat
+    # models/resnet_deeplab.py DeepLabV2.remat.  Per-preset defaults are the
+    # MEASURED fastest config that fits HBM at the reference batch (bench.py
+    # builds its numbers through build_experiment on these same presets);
+    # override at the CLI with --extra remat=true / --extra s2b=false for
+    # larger per-chip batches (docs/PERF.md "Tuned configs").
     remat: Any = True
+    # stage-hoisted space-to-batch for the DeepLab dilated stages (training
+    # throughput win; eval always uses the s2b=False twin — train/build.py)
+    s2b: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,7 +133,10 @@ _register(ExperimentConfig(
     name="gta2city_warmup",
     stage="warmup",
     data=DataConfig(),
-    train=TrainConfig(),
+    # remat=False: the reference batch (3 source imgs doubled to 6 through
+    # the model at 512x896) fits HBM without remat (measured — see
+    # docs/PERF.md); this preset IS the published bench config.
+    train=TrainConfig(remat=False),
     eval=EvalConfig(),
 ))
 

@@ -310,8 +310,12 @@ class DeepLabV2(nn.Module):
     # savings, ~30% extra FLOPs), or a tuple of stage names, e.g.
     # ("layer1", "layer2") — the early stages carry the spatially largest
     # activations but few FLOPs, so partial remat often fits HBM at a
-    # fraction of full remat's recompute cost (batch 6 @512x896 misses
-    # no-remat by ~260 MB on a 16 GB chip)
+    # fraction of full remat's recompute cost.  Measured (r4, warm-up step
+    # @512x896, s2b on, compiled memory_analysis): source batch 3 (=6
+    # through the model) needs 11.6 GB temp with NO remat — the shipped
+    # gta2city_warmup preset; batch 6 no-remat fails to compile (OOM) but
+    # fits at 14.2 GB with remat=("layer1","layer2"); batch 12 needs full
+    # remat AND s2b=False (docs/PERF.md tuned configs).
     remat: bool | Sequence[str] = False
     # head channel-dropout rate (seg_model_noaux.py:205 Dropout2d(0.1));
     # 0.0 makes the forward deterministic given params — used by the

@@ -30,15 +30,28 @@ from .steps import StepConfig, build_dg_step, build_selftrain_step, build_warmup
 
 def make_model(cfg: ExperimentConfig):
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    # remat/s2b are CLI-overridable (--extra remat=false, --extra s2b=false,
+    # --extra 'remat=["layer1","layer2"]'): the preset defaults are the
+    # benched configs, the overrides are the tuned-batch escape hatch
+    remat = cfg.extra.get("remat", cfg.train.remat)
+    if isinstance(remat, list):
+        remat = tuple(remat)
     if cfg.extra.get("model") == "hrnet_ocr":
         from ..models.hrnet_ocr import HRNetOCR
 
         return HRNetOCR(num_classes=cfg.train.num_classes, dtype=dtype,
                         arch_name=cfg.extra.get("hrnet_arch", "w48"),
-                        remat=cfg.train.remat)
+                        remat=remat,
+                        # "bn_stats" saves the (C,)-sized train-mode BN
+                        # statistics across the remat boundary so the
+                        # backward recompute skips re-reducing full
+                        # activations (HRNet.remat_policy; measured A/B in
+                        # docs/PERF.md)
+                        remat_policy=cfg.extra.get("remat_policy"))
     layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))  # tiny-depth for tests
     return DeepLabV2(num_classes=cfg.train.num_classes, dtype=dtype,
-                     layers=layers, remat=cfg.train.remat)
+                     layers=layers, remat=remat,
+                     s2b=cfg.extra.get("s2b", cfg.train.s2b))
 
 
 def make_schedule(cfg: ExperimentConfig):
@@ -66,12 +79,29 @@ def make_step_config(cfg: ExperimentConfig) -> StepConfig:
         # (train_DiGA_DG.py:114)
         p_jitter=cfg.extra.get("p_jitter", 0.5),
         with_sharpness=cfg.extra.get("with_sharpness", cfg.stage != "dg"),
+        # reference warm-up/DG/semiseg-warm-up no-grad student(tdatav)
+        # forward: updates the student BN running stats with target-batch
+        # statistics every step (see StepConfig.tgt_stats_forward).  On by
+        # default for parity; --extra tgt_stats_forward=false drops it
+        # (documented fast path, docs/PARITY.md)
+        tgt_stats_forward=cfg.extra.get(
+            "tgt_stats_forward", cfg.stage in ("warmup", "dg")),
         # opt-in throughput mode, NOT parity-exact: every BN (DeepLab
         # backbone included) normalizes with train-mode batch statistics
         # like the reference (seg_model_noaux.py + student.train()), so
         # pooling the concatenated batches changes the statistics
         fuse_forwards=cfg.extra.get("fuse_forwards", False),
     )
+
+
+def wants_target(cfg: ExperimentConfig) -> bool:
+    """Does this stage's step consume batch['t_img']?  Self-training always
+    (consensus/CutMix); warm-up/DG when the reference's no-grad viz forward
+    is replicated (make_step_config tgt_stats_forward)."""
+    if cfg.stage == "selftrain":
+        return True
+    return bool(cfg.extra.get("tgt_stats_forward",
+                              cfg.stage in ("warmup", "dg")))
 
 
 def make_translator_modules(cfg: ExperimentConfig):

@@ -216,10 +216,14 @@ def run_training(
     os.makedirs(work_dir, exist_ok=True)
     logger = MetricLogger(work_dir)
     steps = num_steps if num_steps is not None else cfg.train.num_steps
-    # target streams are consumed by the self-training stage only; warm-up
-    # and DG use them solely for the reference's visualization forwards,
-    # which we gate out of the hot loop entirely
-    with_target = cfg.stage == "selftrain"
+    # target streams: self-training consumes them for consensus/CutMix;
+    # warm-up/DG consume them for the reference's no-grad student(tdatav)
+    # forward whose BN-stats side effect we replicate by default
+    # (StepConfig.tgt_stats_forward; --extra tgt_stats_forward=false drops
+    # both the forward and the target loaders)
+    from ..train.build import wants_target
+
+    with_target = wants_target(cfg)
 
     # per-chip batch semantics: each mesh device carries the recipe batch
     # (see make_train_iterator.batch_scale).  Multi-host: each process

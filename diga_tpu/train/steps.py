@@ -63,6 +63,17 @@ class StepConfig:
     # commented out (train_DiGA_DG.py:114)
     p_jitter: float = 0.5
     with_sharpness: bool = True
+    # reference warm-up/DG/semiseg-warm-up run a no-grad student(tdatav)
+    # forward every step for visualization (warm_up.py:265-266,
+    # train_DiGA_DG.py:232-233, semiseg warm_up.py:239-240).  The logits
+    # are viz-only, but the forward runs in TRAIN mode, so the student's
+    # BN running statistics absorb target-batch statistics — semantics
+    # visible at eval time (eval-mode BN uses running stats).  True here
+    # replicates that stats side effect (the viz outputs feed nothing, so
+    # XLA dead-codes the BN-free ASPP/OCR head; the cost is roughly a
+    # backbone-only forward).  Self-training never does this student
+    # forward (.._self_training.py:279-331) and keeps False.
+    tgt_stats_forward: bool = False
     # batch-concatenate same-params model forwards into one program
     # (self-training: teacher on [s_cat;t_img], student on [s_cat;cross]).
     # THROUGHPUT MODE, NOT parity-exact: the reference runs every BN in
@@ -114,7 +125,7 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
     distill = _distill_fn(cfg)
 
     def step(state: SegTrainState, batch: dict):
-        rng, k_aug, k_sdrop, k_tdrop = jax.random.split(state.rng, 4)
+        rng, k_aug, k_sdrop, k_tdrop, k_tviz = jax.random.split(state.rng, 5)
         s_img, s_lbl = batch["s_img"], batch["s_lbl"]
         b = s_img.shape[0]
 
@@ -155,6 +166,13 @@ def build_dg_step(model, optimizer, cfg: StepConfig):
         (total, (ce, distil, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if cfg.tgt_stats_forward:
+            # the reference's no-grad student(tdatav) viz forward: pre-step
+            # params, AFTER the s_cat stats update (train_DiGA_DG.py:231-233)
+            _, _, _, new_bs = _student_apply(
+                model, state.params, new_bs, batch["t_img"], k_tviz,
+                rgb_input=cfg.rgb_input,
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
 
@@ -184,7 +202,7 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
     distill = _distill_fn(cfg)
 
     def step(state: SegTrainState, batch: dict):
-        rng, k_aug, k_mix, k_sdrop, k_tdrop = jax.random.split(state.rng, 5)
+        rng, k_aug, k_mix, k_sdrop, k_tdrop, k_tviz = jax.random.split(state.rng, 6)
         s_img, s_lbl = batch["s_img"], batch["s_lbl"]
         b = s_img.shape[0]
 
@@ -225,6 +243,13 @@ def build_warmup_step(model, translator_apply, optimizer, cfg: StepConfig):
         (total, (ce, distil, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if cfg.tgt_stats_forward:
+            # the reference's no-grad student(tdatav) viz forward: pre-step
+            # params, AFTER the s_cat stats update (warm_up.py:264-266)
+            _, _, _, new_bs = _student_apply(
+                model, state.params, new_bs, batch["t_img"], k_tviz,
+                rgb_input=cfg.rgb_input,
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
 

@@ -55,6 +55,41 @@ class TestPresetPlumbing:
         with pytest.raises(SystemExit):
             apply_overrides(get_preset(args.preset), args)
 
+    def test_shipped_preset_is_benched_config(self):
+        """The flagship preset must build the EXACT program bench.py
+        publishes (VERDICT r3 #1): remat off + space-to-batch on at the
+        reference batch.  bench.py builds through
+        build_experiment(get_preset('gta2city_warmup')), so this pins the
+        model knobs the published 7.67 imgs/s number was measured with."""
+        from diga_tpu.train.build import make_model
+
+        cfg = get_preset("gta2city_warmup")
+        assert cfg.train.remat is False
+        assert cfg.train.s2b is True
+        model = make_model(cfg)
+        assert model.remat is False and model.s2b is True
+
+    def test_remat_s2b_cli_overridable(self):
+        """--extra remat=... / s2b=... reach the model (the tuned-batch
+        escape hatch: docs/PERF.md 'Tuned configs')."""
+        from diga_tpu.train.build import make_model
+
+        p = base_parser("t")
+        args = p.parse_args([
+            "--preset", "gta2city_warmup",
+            "--extra", 'remat=["layer1","layer2"]',
+            "--extra", "s2b=false",
+        ])
+        cfg = apply_overrides(get_preset(args.preset), args)
+        model = make_model(cfg)
+        assert model.remat == ("layer1", "layer2")
+        assert model.s2b is False
+
+        args = p.parse_args(["--preset", "gta2city_warmup",
+                             "--extra", "remat=true"])
+        model = make_model(apply_overrides(get_preset(args.preset), args))
+        assert model.remat is True
+
 
 class TestOfflineTools:
     @pytest.fixture()

@@ -72,6 +72,10 @@ class TestSemisegChain:
         batch = {
             "s_img": rr.normal(size=(2, 32, 64, 3)).astype(np.float32),
             "s_lbl": rr.integers(0, 19, size=(2, 32, 64)).astype(np.int32),
+            # the shipped semiseg warm-up step consumes the unlabeled
+            # stream for the reference's no-grad BN-stats forward
+            # (StepConfig.tgt_stats_forward, semiseg warm_up.py:239-240)
+            "t_img": rr.normal(size=(2, 32, 64, 3)).astype(np.float32),
         }
         warm_state, metrics = warm_step(warm_state, batch)
         assert np.isfinite(float(metrics["loss"]))

@@ -136,6 +136,60 @@ class TestWarmupStep:
         assert float(metrics["loss_distil"]) >= 0
 
 
+class TestTargetStatsForward:
+    """StepConfig.tgt_stats_forward replicates the reference's no-grad
+    student(tdatav) viz forward: BN running stats absorb target-batch
+    statistics; grads/params/teacher are untouched (warm_up.py:264-266)."""
+
+    def test_stats_change_params_do_not(self):
+        model, opt, state0 = make_state(frozen=None)
+        batch = fake_batch(b=2, with_target=True)
+        outs = {}
+        for flag in (False, True):
+            cfg = StepConfig(crop_hw=CROP, tgt_stats_forward=flag)
+            step = jax.jit(build_dg_step(model, opt, cfg))
+            state = jax.tree_util.tree_map(lambda x: x, state0)
+            state, _ = step(state, batch)
+            outs[flag] = state
+        # params identical: the extra forward carries no gradient
+        for a, b in zip(jax.tree_util.tree_leaves(outs[False].params),
+                        jax.tree_util.tree_leaves(outs[True].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(outs[False].teacher_params),
+                        jax.tree_util.tree_leaves(outs[True].teacher_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # but the student's BN running stats saw the target batch
+        diffs = [float(jnp.max(jnp.abs(a - b)))
+                 for a, b in zip(jax.tree_util.tree_leaves(outs[False].batch_stats),
+                                 jax.tree_util.tree_leaves(outs[True].batch_stats))]
+        assert max(diffs) > 0
+        # teacher stats identical (the reference never forwards teacher(t)
+        # in warm-up)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[False].teacher_batch_stats),
+                        jax.tree_util.tree_leaves(outs[True].teacher_batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_default_wiring_from_preset(self):
+        from diga_tpu.configs.presets import get_preset
+        from diga_tpu.train.build import make_step_config, wants_target
+
+        for name, want in [("gta2city_warmup", True), ("dg_gta5", True),
+                           ("semiseg_1_8_warmup", True),
+                           ("gta2city_selftrain", False)]:
+            cfg = get_preset(name)
+            assert make_step_config(cfg).tgt_stats_forward is want, name
+        # selftrain still consumes t_img (consensus), via wants_target
+        assert wants_target(get_preset("gta2city_selftrain")) is True
+        # the documented fast-path override
+        import dataclasses
+
+        cfg = get_preset("gta2city_warmup")
+        cfg = dataclasses.replace(cfg, extra={**cfg.extra,
+                                              "tgt_stats_forward": False})
+        assert make_step_config(cfg).tgt_stats_forward is False
+        assert wants_target(cfg) is False
+
+
 class TestSelfTrainStep:
     def test_runs_and_updates_centroids(self):
         def translator_apply(frozen, img):
