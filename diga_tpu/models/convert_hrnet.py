@@ -159,8 +159,24 @@ def hrnet_imagenet_init(params: dict, stats: dict, pretrained_sd: dict,
     """
     full = hrnet_ocr_to_torch(params, stats, arch)
     back_keys = [k for k in full if k.startswith("hrnet.")]
-    pre_items = [(k, np.asarray(v)) for k, v in pretrained_sd.items()
+    # DataParallel dumps carry a 'module.' prefix — strip before zipping
+    # (the key TEXT is otherwise unused: pairing is positional)
+    pre_items = [(k[7:] if k.startswith("module.") else k, np.asarray(v))
+                 for k, v in pretrained_sd.items()
                  if "num_batches_tracked" not in k]
+    # landmark assertions for real (standard-named) hrnetv2 checkpoints
+    # (docs/PARITY_RUNBOOK.md): the zip must start at the stem and cover
+    # the whole backbone before the ImageNet cls-head keys begin
+    if pre_items and pre_items[0][0].split(".")[0].startswith("conv"):
+        if pre_items[0][0] != "conv1.weight":
+            raise RuntimeError(
+                "hrnet ImageNet init: checkpoint's first tensor is "
+                f"{pre_items[0][0]!r}, expected 'conv1.weight' — wrong or "
+                "reordered checkpoint")
+        if len(pre_items) < len(back_keys):
+            raise RuntimeError(
+                f"hrnet ImageNet init: checkpoint has {len(pre_items)} "
+                f"tensors < backbone's {len(back_keys)} — truncated dump")
     for ours, (pk, pv) in zip(back_keys, pre_items):
         if tuple(full[ours].shape) != tuple(pv.shape):
             raise RuntimeError(
