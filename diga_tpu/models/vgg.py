@@ -58,10 +58,20 @@ def vgg19_from_torch(sd: dict) -> dict:
     return params
 
 
-def vgg_perceptual_loss(vgg_apply, x, y, weights=(1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0)):
-    """L1 over the five taps, target detached (util/loss.py:17-25)."""
+def vgg_perceptual_loss(vgg_apply, x, y, weights=(1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0),
+                        max_w: int = 1024):
+    """L1 over the five taps, target detached (util/loss.py:17-25).
+
+    The reference VGGLoss halves both images with AvgPool2d(2) while the
+    width exceeds 1024 (util/loss.py:15,19-20) — a no-op at the shipped
+    512x896 crop, kept for faithfulness at larger inputs.  Shapes are
+    static under jit, so the Python ``while`` resolves at trace time.
+    """
     import jax
 
+    while x.shape[2] > max_w:
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        y = nn.avg_pool(y, (2, 2), strides=(2, 2))
     fx = vgg_apply(x)
     fy = vgg_apply(y)
     loss = 0.0
