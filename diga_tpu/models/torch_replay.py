@@ -13,8 +13,17 @@ model_util.py Conv2dBlock :121-174 / ResBlock :48-61.
 from __future__ import annotations
 
 
-def segmodel_forward_torch(sd: dict, x_nchw, layers=(3, 4, 23, 3), num_classes: int = 19):
-    """Returns (logits, feat) as torch tensors (NCHW), eval-mode BN."""
+def segmodel_forward_torch(sd: dict, x_nchw, layers=(3, 4, 23, 3), num_classes: int = 19,
+                           training: bool = False):
+    """Returns (logits, feat) as torch tensors (NCHW).
+
+    ``training=True`` replays the reference's train-mode BN: normalize with
+    batch statistics and update the ``running_*`` tensors of ``sd`` IN
+    PLACE with torch momentum 0.1 (student.train() — every BN trains;
+    only the affine params are gradient-frozen, seg_model_noaux.py:62-76).
+    sd values must then be torch tensors.  Differentiable: build sd with
+    requires_grad on the trainable leaves and autograd flows through.
+    """
     import numpy as np
     import torch
     import torch.nn.functional as F
@@ -30,7 +39,7 @@ def segmodel_forward_torch(sd: dict, x_nchw, layers=(3, 4, 23, 3), num_classes: 
     def bn(key, v):
         return F.batch_norm(v, t(key + ".running_mean"), t(key + ".running_var"),
                             t(key + ".weight"), t(key + ".bias"),
-                            training=False, eps=1e-5)
+                            training=training, momentum=0.1, eps=1e-5)
 
     def gn(key, v, groups=32):
         return F.group_norm(v, groups, t(key + ".weight"), t(key + ".bias"), eps=1e-5)

@@ -98,7 +98,7 @@ def test_selftrain_harness_runs(st_cfg, tmp_path):
          d.source_root, d.target_root, d.source_list, d.target_img_list,
          d.target_lbl_list, d.val_img_list, d.val_lbl_list,
          str(tmp_path / "work")],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT")][0]
