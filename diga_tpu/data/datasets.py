@@ -278,9 +278,18 @@ def mapillary_dataset(root: str, img_list_path: str, lbl_list_path: str,
 # ---------------------------------------------------------------------------
 
 class EpochShuffleSampler:
-    """Deterministic infinite index stream, shuffled per epoch, sharded
-    per host.  Replaces the reference's max_iters list-repetition
-    (CityLoader.py:46-48) with O(1) memory and multi-host determinism.
+    """Deterministic infinite POSITION-INDEXED sample stream, shuffled per
+    epoch.  Replaces the reference's max_iters list-repetition
+    (CityLoader.py:46-48) with O(1) memory.
+
+    ``index_at(p)`` maps global stream position p -> dataset index
+    (epoch p // n, slot p % n of that epoch's permutation).  Host sharding
+    lives in BatchLoader, which assigns each host a CONTIGUOUS block of
+    every global batch — so the global batch sequence (and with the
+    per-sample position-keyed aug RNG, its exact pixels) is IDENTICAL for
+    any process layout: an N-host run reproduces the 1-host run bit for
+    bit (tests/test_multihost_smoke.py pins this against a real
+    2-process run).
     """
 
     def __init__(self, n: int, seed: int = 0, shuffle: bool = True,
@@ -288,19 +297,29 @@ class EpochShuffleSampler:
         self.n = n
         self.seed = seed
         self.shuffle = shuffle
-        self.host_id = host_id
-        self.host_count = host_count
+        self.host_id = host_id        # kept for introspection; BatchLoader
+        self.host_count = host_count  # does the block-sharding math
+        self._orders: dict[int, np.ndarray] = {}
 
-    def __iter__(self):
-        epoch = 0
-        while True:
+    def _order(self, epoch: int) -> np.ndarray:
+        # tiny per-epoch cache; GIL-safe (worst case: duplicate compute)
+        order = self._orders.get(epoch)
+        if order is None:
             order = np.arange(self.n)
             if self.shuffle:
-                rng = np.random.default_rng((self.seed, epoch))
-                rng.shuffle(order)
-            for idx in order[self.host_id :: self.host_count]:
-                yield int(idx)
-            epoch += 1
+                np.random.default_rng((self.seed, epoch)).shuffle(order)
+            self._orders = {epoch: order}  # keep only the current epoch
+        return order
+
+    def index_at(self, position: int) -> int:
+        epoch, slot = divmod(position, self.n)
+        return int(self._order(epoch)[slot])
+
+    def __iter__(self):
+        p = 0
+        while True:
+            yield self.index_at(p)
+            p += 1
 
 
 def collate(samples: Sequence[dict]) -> dict:

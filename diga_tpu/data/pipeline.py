@@ -40,6 +40,8 @@ class BatchLoader:
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.host_id = host_id
+        self.host_count = host_count
         self.sampler = EpochShuffleSampler(
             len(dataset), seed=seed, shuffle=shuffle,
             host_id=host_id, host_count=host_count,
@@ -53,19 +55,24 @@ class BatchLoader:
         self._threads: list[threading.Thread] = []
 
     def _producer(self, worker_id: int):
-        # each worker pulls whole batches round-robin so ordering of
-        # samples inside a batch stays deterministic given the sampler
-        it = iter(self.sampler)
-        batch_idx = 0
+        # Layout-independence contract: global batch b spans stream
+        # positions [b*Bg, (b+1)*Bg) where Bg = batch_size * host_count;
+        # host h builds the CONTIGUOUS rows starting at b*Bg + h*batch_size,
+        # and every sample's aug RNG is keyed by (seed, its stream
+        # position).  Concat over hosts therefore equals the 1-host batch
+        # bit for bit, for any worker count or process layout.
+        bg = self.batch_size * self.host_count
+        base = self.host_id * self.batch_size
+        batch_idx = worker_id
         while not self._stop.is_set():
-            indices = [next(it) for _ in range(self.batch_size)]
             if batch_idx % self.num_workers == worker_id:
-                # seed by (seed, batch index) ONLY: the produced batch is a
-                # deterministic function of its index no matter which
-                # worker builds it or how many workers exist
-                rng = np.random.default_rng((self.seed, batch_idx))
+                positions = [batch_idx * bg + base + j
+                             for j in range(self.batch_size)]
                 samples = [
-                    self.dataset.__getitem__(i, rng=rng) for i in indices
+                    self.dataset.__getitem__(
+                        self.sampler.index_at(p),
+                        rng=np.random.default_rng((self.seed, p)))
+                    for p in positions
                 ]
                 try:
                     self._q.put((batch_idx, collate(samples)), timeout=60.0)

@@ -5,18 +5,24 @@ local devices), build the GLOBAL 4-device mesh, assemble a global batch
 from process-local data, and run one jitted data-parallel step whose
 gradient all-reduce crosses the process boundary.
 
-argv: coordinator_address num_processes process_id
+argv: coordinator_address num_processes process_id [fixture_root] [n_local]
 Prints "RESULT loss=<f> n_global=<n> n_local=<n>" on success.
+``n_local`` (default 2) sets the virtual devices per process — the parent
+test also runs a 1-process/4-device layout over the SAME fixtures and
+asserts the losses match the 2x2 layout bit for bit (loader layout
+independence, data/pipeline.py BatchLoader contract).
 """
 
 import os
 import sys
 
+_N_LOCAL = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "").replace(
         "--xla_force_host_platform_device_count=8", "")
-    + " --xla_force_host_platform_device_count=2"
+    + f" --xla_force_host_platform_device_count={_N_LOCAL}"
 ).strip()
 
 import jax
@@ -38,6 +44,7 @@ def main():
 
     n_local = jax.local_device_count()
     n_global = jax.device_count()
+    assert n_local == _N_LOCAL
     assert n_global == n_proc * n_local, (n_global, n_proc, n_local)
 
     mesh = make_mesh()  # all global devices

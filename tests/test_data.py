@@ -163,17 +163,51 @@ class TestPipeline:
             assert b["label"].shape == (2, 32, 64)
             assert b["label"].dtype == np.int32
 
-    def test_sampler_deterministic_and_sharded(self):
+    def test_sampler_position_indexed(self):
         from diga_tpu.data import EpochShuffleSampler
 
-        s0 = EpochShuffleSampler(10, seed=7, host_id=0, host_count=2)
-        s1 = EpochShuffleSampler(10, seed=7, host_id=1, host_count=2)
-        a = [next(iter_) for iter_, _ in [(iter(s0), None)] for _ in range(10)]
-        i0, i1 = iter(s0), iter(s1)
-        got0 = [next(i0) for _ in range(5)]
-        got1 = [next(i1) for _ in range(5)]
-        assert set(got0).isdisjoint(got1)
-        assert sorted(got0 + got1) == list(range(10))
+        s = EpochShuffleSampler(10, seed=7)
+        # one epoch covers every index exactly once, deterministically
+        first = [s.index_at(p) for p in range(10)]
+        assert sorted(first) == list(range(10))
+        assert first == [s.index_at(p) for p in range(10)]
+        # next epoch reshuffles
+        second = [s.index_at(p) for p in range(10, 20)]
+        assert sorted(second) == list(range(10))
+        assert first != second
+
+    def test_host_block_sharding_matches_single_host(self, tmp_path):
+        """Layout independence: concat of the per-host loaders' batches ==
+        the single-host loader's batch, bit for bit (per-sample
+        position-keyed RNG + contiguous per-host blocks).  This is the
+        property that makes an N-host run reproduce a 1-host run; the
+        2-process test (test_multihost_smoke.py) pins it end to end."""
+        from diga_tpu.data import (BatchLoader, Compose, RandomHorizontallyFlip,
+                                   RandomSizedAndCrop, gta5_dataset, synthetic)
+
+        root = str(tmp_path / "gta5")
+        list_path = synthetic.make_gta5_fixture(root, n=6)
+
+        def make(batch, host_id, host_count):
+            ds = gta5_dataset(
+                root, list_path, resize_hw=(48, 96),
+                transform=Compose([RandomHorizontallyFlip(),
+                                   RandomSizedAndCrop([32, 64])]),
+            )
+            return BatchLoader(ds, batch_size=batch, num_workers=2, seed=11,
+                               host_id=host_id, host_count=host_count)
+
+        single = make(4, 0, 1)
+        h0, h1 = make(2, 0, 2), make(2, 1, 2)
+        it_s, it0, it1 = iter(single), iter(h0), iter(h1)
+        for _ in range(4):
+            bs, b0, b1 = next(it_s), next(it0), next(it1)
+            np.testing.assert_array_equal(
+                bs["image"], np.concatenate([b0["image"], b1["image"]], 0))
+            np.testing.assert_array_equal(
+                bs["label"], np.concatenate([b0["label"], b1["label"]], 0))
+        for l in (single, h0, h1):
+            l.stop()
 
 
 class TestLoaderDeterminism:
