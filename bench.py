@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -227,8 +228,21 @@ def main():
                    help="GroupNorm impl for --stage eval (reproduces the "
                         "recorded Pallas-vs-XLA A/B, docs/PERF.md)")
     args = p.parse_args()
-    for name in (STAGES if args.stage == "all" else [args.stage]):
-        STAGES[name](eval_gn_impl=args.eval_gn_impl)
+    if args.stage == "all":
+        # one fresh process per stage: six full-production programs in one
+        # process exhaust HBM by accumulation/fragmentation (measured: the
+        # translator OOMs when benched sixth but runs fine alone); the
+        # persistent compile cache keeps the re-imports cheap
+        import subprocess
+        import sys
+
+        for name in STAGES:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name,
+                 "--eval_gn_impl", args.eval_gn_impl],
+                check=True)
+        return
+    STAGES[args.stage](eval_gn_impl=args.eval_gn_impl)
 
 
 if __name__ == "__main__":
