@@ -279,6 +279,11 @@ class OCRHead(nn.Module):
     mid_channels: int = 512
     key_channels: int = 256
     dtype: Dtype = jnp.float32
+    # augmented-rep channel dropout (ocrnet_module.py Dropout2d(0.05));
+    # 0.0 makes the train-mode forward deterministic given params — used
+    # by the composed train-step parity tests (same knob as
+    # DeepLabV2.droprate)
+    droprate: float = 0.05
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -321,7 +326,7 @@ class OCRHead(nn.Module):
         # augmented representation: concat + 1x1 conv + BN + dropout(0.05)
         aug = jnp.concatenate([ocr, pix], axis=-1)
         aug = ConvBN(self.mid_channels, 1, 1, dtype=self.dtype, name="augment")(aug, train)
-        aug = nn.Dropout(0.05, broadcast_dims=(1, 2),
+        aug = nn.Dropout(self.droprate, broadcast_dims=(1, 2),
                          deterministic=not train, name="drop")(aug)
         logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                          dtype=self.dtype, name="cls")(aug)
@@ -338,6 +343,7 @@ class HRNetOCR(nn.Module):
     dtype: Dtype = jnp.float32
     remat: Any = False  # True | False | tuple of "stage2".."stage4"
     remat_policy: str | None = None  # see HRNet.remat_policy
+    droprate: float = 0.05  # see OCRHead.droprate
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -346,5 +352,5 @@ class HRNetOCR(nn.Module):
                       remat_policy=self.remat_policy, name="hrnet")(x, train)
         aux, logits, aug = OCRHead(
             self.num_classes, arch["ocr_mid_channels"], arch["ocr_key_channels"],
-            dtype=self.dtype, name="ocr")(feats, train)
+            dtype=self.dtype, droprate=self.droprate, name="ocr")(feats, train)
         return feats, aux, logits, aug

@@ -161,13 +161,20 @@ def discriminator_forward_torch(sd: dict, x_nchw, num_scales=3, n_layer=4):
     return outputs
 
 
-def hrnet_ocr_forward_torch(sd: dict, x_nchw, arch: dict, num_classes: int = 19):
+def hrnet_ocr_forward_torch(sd: dict, x_nchw, arch: dict, num_classes: int = 19,
+                            training: bool = False):
     """HRNet backbone + OCR head forward from a reference-layout state_dict.
 
     Math: hrnet_module.py (stem :347-354, Bottleneck :265, BasicBlock :228,
     transitions :427-465, HighResolutionModule fuse :186-226, final concat
     :521-538, ALIGN_CORNERS=True) + ocrnet_module.py:12-252.
     Returns (feats, aux_logits, logits, augmented) as NCHW torch tensors.
+
+    ``training=True`` replays train-mode BN (normalize with batch
+    statistics, update the ``running_*`` tensors of ``sd`` IN PLACE with
+    torch momentum 0.1 — model.train(); every semiseg BN trains).  sd
+    values must then be torch tensors.  Differentiable like the segmodel
+    replay above.
     """
     import numpy as np
     import torch
@@ -184,7 +191,7 @@ def hrnet_ocr_forward_torch(sd: dict, x_nchw, arch: dict, num_classes: int = 19)
     def bn(key, v):
         return F.batch_norm(v, t(key + ".running_mean"), t(key + ".running_var"),
                             t(key + ".weight"), t(key + ".bias"),
-                            training=False, eps=1e-5)
+                            training=training, momentum=0.1, eps=1e-5)
 
     def convbn(ckey, bkey, v, stride=1, pad=0, relu=True):
         v = bn(bkey, conv(ckey, v, stride=stride, pad=pad))

@@ -512,9 +512,188 @@ def run_selftrain():
     print(f"RESULT centroid_absdiff={d_cent:.3e} count_absdiff={d_cnt:.3e}")
 
 
+# ---------------------------------------------------------------- semiseg
+
+TINY_HR = {
+    "stem_channels": 8,
+    "stage1_blocks": 2,
+    "stage1_channels": 8,
+    "stages": [
+        (1, 2, (8, 16)),
+        (2, 1, (8, 16, 32)),
+        (1, 1, (8, 16, 32, 64)),
+    ],
+    "ocr_mid_channels": 32,
+    "ocr_key_channels": 16,
+}
+LR_SS = 1e-3     # semiseg warm_up.py:88 (poly power 1.0, no 10x head)
+
+
+def run_semiseg():
+    """Composed semiseg warm-up step (DG-style + aux loss) vs torch:
+    HRNet-W48+OCR (tiny arch), RGB input flip, aux CE + aux distillation
+    both 0.1-weighted (semiseg warm_up.py:259-263), single-group SGD
+    (every param trains, BN affine included), ramped EMA, and the no-grad
+    student(unlabeled) BN-stats forward (warm_up.py:239-240)."""
+    import torch
+
+    import diga_tpu.models.hrnet_ocr as H
+    from diga_tpu.models.convert_hrnet import hrnet_ocr_to_torch
+    from diga_tpu.models.hrnet_ocr import HRNetOCR
+    from diga_tpu.models.torch_replay import hrnet_ocr_forward_torch
+    from diga_tpu.train.optim import sgd_grouped
+    from diga_tpu.train.schedules import poly_schedule
+    from diga_tpu.train.state import create_seg_state
+    from diga_tpu.train.steps import StepConfig, build_dg_step
+
+    H.W32 = TINY_HR  # arch_name != "w48" resolves W32 at call time
+    model = HRNetOCR(num_classes=NCLS, arch_name="tiny", droprate=0.0)
+    k = jax.random.PRNGKey(3)
+    variables = model.init({"params": k, "dropout": k},
+                           jnp.zeros((1, *CROP, 3), jnp.float32), train=False)
+    # build_experiment with head_lr_mult=1: every label becomes 'backbone'
+    labels = jax.tree_util.tree_map(lambda _: "backbone", variables["params"])
+    opt = sgd_grouped(poly_schedule(LR_SS, 1000, power=1.0), labels,
+                      momentum=MOM, weight_decay=WD, head_mult=1.0)
+    state = create_seg_state(model, opt, k, CROP)
+
+    rr = np.random.default_rng(11)
+    stats = jax.tree_util.tree_map(
+        lambda a: np.abs(np.asarray(a)
+                         + rr.normal(size=a.shape).astype(np.float32) * 0.01),
+        state.batch_stats)
+    tstats = jax.tree_util.tree_map(
+        lambda a: np.abs(np.asarray(a)
+                         + rr.normal(size=a.shape).astype(np.float32) * 0.01),
+        state.batch_stats)
+    tparams = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + rr.normal(size=a.shape).astype(np.float32) * 0.01,
+        state.params)
+    state = state.replace(batch_stats=stats, teacher_params=tparams,
+                          teacher_batch_stats=tstats,
+                          step=jnp.asarray(ITER, jnp.int32))
+
+    batch = make_batch("warmup")
+    cfg = StepConfig(crop_hw=CROP, beta=0.0, aux_weight=0.1, rgb_input=True,
+                     tgt_stats_forward=True)
+    step = jax.jit(build_dg_step(model, opt, cfg))
+    old_params = state.params
+    new_state, metrics = step(state, {kk: jnp.asarray(v) for kk, v in batch.items()})
+
+    # ---- torch replay ----
+    def to_sd(params, stts):
+        sd_np = hrnet_ocr_to_torch(
+            jax.tree_util.tree_map(np.asarray, params),
+            jax.tree_util.tree_map(np.asarray, stts), TINY_HR)
+        return {kk: torch.from_numpy(np.asarray(v).copy()) for kk, v in sd_np.items()}
+
+    sd_stu = to_sd(state.params, state.batch_stats)
+    sd_tea = to_sd(state.teacher_params, state.teacher_batch_stats)
+    sd_stu_old = {kk: v.clone() for kk, v in sd_stu.items()}
+    alpha = min(1 - 1 / (ITER + 1), 0.999)
+    ema_update_torch(sd_tea, sd_stu, alpha)
+
+    # single param group: everything trains (no frozen affine, no 10x head)
+    p1 = []
+    for kk, v in sd_stu.items():
+        if _is_buffer(kk):
+            continue
+        v.requires_grad_(True)
+        p1.append(v)
+    optim = torch.optim.SGD(p1, lr=LR_SS, momentum=MOM, weight_decay=WD)
+
+    def flip_rgb(x):  # step does x[..., ::-1] on NHWC == channel flip in NCHW
+        return torch.flip(x, dims=[1])
+
+    s_cat = np.concatenate([batch["s_img"], batch["s_img"]], 0)  # beta=0 aug
+    x_t = flip_rgb(torch.from_numpy(s_cat.transpose(0, 3, 1, 2)))
+    t_t = flip_rgb(torch.from_numpy(batch["t_img"].transpose(0, 3, 1, 2)))
+    s_lbl_t = torch.from_numpy(batch["s_lbl"]).long()
+
+    with torch.no_grad():
+        _, tea_aux, tea_logits, _ = hrnet_ocr_forward_torch(
+            sd_tea, x_t, TINY_HR, num_classes=NCLS, training=True)
+        tea_up = upsample_torch(tea_logits, CROP)
+        tea_aux_up = upsample_torch(tea_aux, CROP)
+    _, stu_aux, stu_logits, _ = hrnet_ocr_forward_torch(
+        sd_stu, x_t, TINY_HR, num_classes=NCLS, training=True)
+    # the no-grad student(unlabeled) stats forward, after the s_cat stats
+    # update (semiseg warm_up.py:239-240)
+    with torch.no_grad():
+        hrnet_ocr_forward_torch(sd_stu, t_t, TINY_HR, num_classes=NCLS,
+                                training=True)
+    stu_up = upsample_torch(stu_logits, CROP)
+    stu_aux_up = upsample_torch(stu_aux, CROP)
+
+    ce = (cross_entropy2d_torch(stu_up[:B], s_lbl_t)
+          + 0.1 * cross_entropy2d_torch(stu_aux_up[:B], s_lbl_t))
+    distil = (distillation_loss_torch(tea_up, stu_up)
+              + 0.1 * distillation_loss_torch(tea_aux_up, stu_aux_up))
+    total = 1.0 * ce + 0.5 * distil
+    optim.zero_grad()
+    total.backward()
+    optim.step()
+
+    print(f"RESULT loss_jax={float(metrics['loss']):.6f} "
+          f"loss_torch={float(total.detach()):.6f}")
+    print(f"RESULT ce_jax={float(metrics['loss_semseg']):.6f} "
+          f"ce_torch={float(ce.detach()):.6f}")
+    print(f"RESULT distil_jax={float(metrics['loss_distil']):.6f} "
+          f"distil_torch={float(distil.detach()):.6f}")
+
+    def zero_like(tree):
+        return jax.tree_util.tree_map(lambda a: np.zeros_like(np.asarray(a)), tree)
+
+    def delta_metrics_hr(old_p, new_p):
+        old_sd = hrnet_ocr_to_torch(jax.tree_util.tree_map(np.asarray, old_p),
+                                    zero_like(state.batch_stats), TINY_HR)
+        new_sd = hrnet_ocr_to_torch(jax.tree_util.tree_map(np.asarray, new_p),
+                                    zero_like(state.batch_stats), TINY_HR)
+        worst, worst_scale = 0.0, 0.0
+        for kk in new_sd:
+            if _is_buffer(kk):
+                continue
+            dj = np.asarray(new_sd[kk]) - np.asarray(old_sd[kk])
+            dt = sd_stu[kk].detach().numpy() - sd_stu_old[kk].detach().numpy()
+            worst = max(worst, float(np.max(np.abs(dj - dt))))
+            worst_scale = max(worst_scale, float(np.max(np.abs(dt))))
+        rel = worst / max(worst_scale, 1e-30)
+        print(f"RESULT param_delta_rel={rel:.3e} param_delta_scale={worst_scale:.3e}")
+
+    def stats_metrics_hr(tag, new_stats, sd_torch):
+        sd_jax = hrnet_ocr_to_torch(zero_like(state.params),
+                                    jax.tree_util.tree_map(np.asarray, new_stats),
+                                    TINY_HR)
+        d_mean, d_var = 0.0, 0.0
+        for kk in sd_jax:
+            if not _is_buffer(kk):
+                continue
+            a = np.asarray(sd_jax[kk])
+            bb = sd_torch[kk].detach().numpy()
+            rel = float(np.max(np.abs(a - bb) / (np.abs(bb) + 1e-3)))
+            if kk.endswith("running_mean"):
+                d_mean = max(d_mean, rel)
+            else:
+                d_var = max(d_var, rel)
+        print(f"RESULT {tag}_mean_rel={d_mean:.3e} {tag}_var_rel={d_var:.3e}")
+
+    delta_metrics_hr(old_params, new_state.params)
+    stats_metrics_hr("stu_stats", new_state.batch_stats, sd_stu)
+    stats_metrics_hr("tea_stats", new_state.teacher_batch_stats, sd_tea)
+    tea_jax = hrnet_ocr_to_torch(
+        jax.tree_util.tree_map(np.asarray, new_state.teacher_params),
+        zero_like(state.batch_stats), TINY_HR)
+    d_tea = max(float(np.max(np.abs(np.asarray(tea_jax[kk])
+                                    - sd_tea[kk].detach().numpy())))
+                for kk in tea_jax if not _is_buffer(kk))
+    print(f"RESULT tea_param_absdiff={d_tea:.3e}")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "warmup"
     if mode == "warmup":
         run_warmup()
+    elif mode == "semiseg":
+        run_semiseg()
     else:
         run_selftrain()

@@ -38,7 +38,7 @@ def _run(mode):
     return {k: float(v) for k, v in vals.items()}, proc.stdout
 
 
-def _assert_common(v, out):
+def _assert_common(v, out, var_tol=5e-3):
     # losses: same reduction up to f32 reassociation
     for key in ("loss", "ce", "distil"):
         a, b = v[f"{key}_jax"], v[f"{key}_torch"]
@@ -47,17 +47,32 @@ def _assert_common(v, out):
     assert v["param_delta_rel"] < 5e-3, out
     assert v["param_delta_scale"] > 0, out  # something actually moved
     # running means tight; vars carry the documented biased/unbiased
-    # estimator difference (docs/PARITY.md #3: factor n/(n-1), <0.2% here)
+    # estimator difference (docs/PARITY.md #3: factor n/(n-1) -> bounded
+    # by 1/(n-1) of the batch-var contribution; n >= 512 for the DeepLab
+    # harness crops, so <0.2% there)
     assert v["stu_stats_mean_rel"] < 1e-3, out
-    assert v["stu_stats_var_rel"] < 5e-3, out
+    assert v["stu_stats_var_rel"] < var_tol, out
     assert v["tea_stats_mean_rel"] < 1e-3, out
-    assert v["tea_stats_var_rel"] < 5e-3, out
+    assert v["tea_stats_var_rel"] < var_tol, out
 
 
 def test_warmup_step_matches_torch_replay():
     v, out = _run("warmup")
     _assert_common(v, out)
     assert v["tea_param_absdiff"] < 1e-6, out  # EMA is exact linear algebra
+
+
+def test_semiseg_warmup_step_matches_torch_replay():
+    """Composed semiseg warm-up step (HRNet+OCR, tiny arch): RGB flip,
+    aux CE + aux distillation both 0.1-weighted (semiseg
+    warm_up.py:259-263), single-group SGD (BN affine trains, no 10x
+    head), ramped EMA, no-grad unlabeled BN-stats forward."""
+    v, out = _run("semiseg")
+    # HRNet's bottom branch sees only n = 4*2*4 = 32 BN samples at the
+    # tiny crop, so the biased/unbiased running-var gap is up to
+    # 1/(n-1) = 3.2% (measured 2.96e-2); means stay tight
+    _assert_common(v, out, var_tol=4e-2)
+    assert v["tea_param_absdiff"] < 1e-6, out
 
 
 def test_selftrain_step_matches_torch_replay():
