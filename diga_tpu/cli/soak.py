@@ -321,12 +321,15 @@ def soak_onchip(args):
     # the soak runs the SAME program the CLI/bench run: the preset is the
     # benched config (VERDICT r3 #1)
     cfg = get_config(args)
+    if cfg.stage == "translator":
+        return _soak_onchip_translator(args, cfg)
     state, step, _, _ = build_experiment(cfg)
     batch_n = sum(s.batch for s in cfg.data.source_streams)
     batch_t = sum(s.batch for s in cfg.data.target_streams)
     with_target = wants_target(cfg)
     crop = cfg.train.crop_hw
     ncls = cfg.train.num_classes
+    selftrain = cfg.stage == "selftrain"
 
     @jax.jit
     def make_batch(i):
@@ -336,8 +339,13 @@ def soak_onchip(args):
                          0, ncls - 1)
         batch = {"s_img": img, "s_lbl": bands}
         if with_target:
-            batch["t_img"] = 0.5 * jax.random.normal(
-                kt, (batch_t, *crop, 3), jnp.float32)
+            t_img = 0.5 * jax.random.normal(kt, (batch_t, *crop, 3), jnp.float32)
+            batch["t_img"] = t_img
+        if selftrain:
+            # banded pseudo labels with ~10% ignore, like real dumps
+            tp = jnp.clip((t_img.mean(-1) * 8 + ncls / 2).astype(jnp.int32),
+                          0, ncls - 1)
+            batch["t_pseudo"] = jnp.where(t_img[..., 0] > 0.64, 255, tp)
         return batch
 
     os.makedirs(args.work_dir, exist_ok=True)
@@ -361,6 +369,65 @@ def soak_onchip(args):
     assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
     print(f"soak ok: {args.steps} steps, {first:.4f} -> {last:.4f}")
     return {"first": first, "last": last}
+
+
+def _soak_onchip_translator(args, cfg):
+    """Production-scale on-chip GAN soak: the exact shipped translator
+    program (single-pass vjp-shared step, 6 Adams) on synthetic batches;
+    asserts the same health invariants as the fixture soak."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    import time
+
+    from .train_domain_translator import build_translator_experiment
+
+    _, state, step = build_translator_experiment(cfg, num_steps=args.steps)
+    batch_n = sum(s.batch for s in cfg.data.source_streams)
+    batch_t = sum(s.batch for s in cfg.data.target_streams)
+    crop = cfg.train.crop_hw
+    ncls = cfg.train.num_classes
+
+    @jax.jit
+    def make_batch(i):
+        k, kt = jax.random.split(jax.random.PRNGKey(i))
+        img = 0.5 * jax.random.normal(k, (batch_n, *crop, 3), jnp.float32)
+        bands = jnp.clip((img.mean(-1) * 8 + ncls / 2).astype(jnp.int32),
+                         0, ncls - 1)
+        t_img = 0.5 * jax.random.normal(kt, (batch_t, *crop, 3), jnp.float32)
+        return {"s_img": img, "s_lbl": bands, "t_img": t_img}
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    log = open(os.path.join(args.work_dir, "soak_onchip_translator.jsonl"), "w")
+    self_losses, d_max, g_last = [], 0.0, 0.0
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, m = step(state, make_batch(i))
+        if i % 25 == 0 or i == args.steps - 1:
+            rec = {k: float(v) for k, v in m.items()}
+            for v in rec.values():
+                assert np.isfinite(v), f"non-finite metric at step {i}: {rec}"
+            self_losses.append(rec["loss_self"])
+            d_max = max(d_max, rec["loss_d_s2t"], rec["loss_d_t2s"])
+            g_last = rec["loss_g"]
+            rate = batch_n * (i + 1) / (time.perf_counter() - t0)
+            log.write(json.dumps({"step": i, **rec,
+                                  "imgs_per_sec": rate}) + "\n")
+            log.flush()
+            if i % 100 == 0:
+                print(f"step {i}: self={rec['loss_self']:.4f} "
+                      f"g={rec['loss_g']:.4f} dmax={d_max:.4f} "
+                      f"({rate:.2f} imgs/s)", flush=True)
+    log.close()
+    k = max(len(self_losses) // 5, 1)
+    head, tail = float(np.mean(self_losses[:k])), float(np.mean(self_losses[-k:]))
+    assert tail < head, f"self-recon did not improve: {head:.4f} -> {tail:.4f}"
+    assert d_max < 4.0, f"D loss diverged: {d_max}"
+    print(f"translator onchip soak ok: {args.steps} steps, self-recon "
+          f"{head:.4f} -> {tail:.4f}, max D {d_max:.4f}, final G {g_last:.4f}")
+    return {"head": head, "tail": tail, "d_max": d_max}
 
 
 if __name__ == "__main__":
