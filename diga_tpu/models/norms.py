@@ -12,10 +12,13 @@ layout of ``nn.BatchNorm`` (params ``scale``/``bias``, batch_stats
 ``mean``/``var``, all f32) whose statistics come from
 ``ops.stats.sums_and_squares`` — two reductions over the ORIGINAL bf16
 tensor with f32 accumulators, so no activation-sized f32 tensor is ever
-created.  Formulas match flax/torch: biased batch variance
-(use_fast_variance form E[x²]−E[x]²), running stats lerped with
-``momentum`` (flax convention: torch momentum 0.1 == flax 0.9), eps
-inside the rsqrt.
+created.  Formulas match torch ``_BatchNorm`` exactly: biased batch variance
+(use_fast_variance form E[x²]−E[x]²) for normalization, UNBIASED
+variance (Bessel factor n/(n−1)) stored in the running stats, running
+stats lerped with ``momentum`` (flax convention: torch momentum 0.1 ==
+flax 0.9), eps inside the rsqrt.  This differs from flax's
+``nn.BatchNorm`` (which stores the biased var) — torch semantics are
+what the reference's eval-mode BN consumes.
 
 The optional ``mask`` (+ static ``n_valid``) restricts statistics to
 valid positions of a zero-padded feature map and re-zeroes pads on the
@@ -75,8 +78,13 @@ class BatchNorm2D(nn.Module):
             var = checkpoint_name(var, "bn_stats")
             if not self.is_initializing():
                 m = self.momentum
+                # torch _BatchNorm stores the UNBIASED variance (n/(n-1))
+                # in running_var while normalizing with the biased one
+                # (seg_model_noaux.py:63-76 consumes these in eval mode);
+                # n_valid is static, so this is a compile-time constant.
+                bessel = n_valid / (n_valid - 1.0) if n_valid > 1 else 1.0
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_var.value = m * ra_var.value + (1 - m) * var * bessel
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -306,9 +306,9 @@ def _zero_stats(params):
 
 
 def _stats_metrics(tag, new_stats_jax, sd_torch):
-    """Running means compared tight; running vars biased-vs-unbiased
-    (docs/PARITY.md deviation #3): flax lerps the biased batch var, torch
-    the unbiased (factor n/(n-1), n >= 2*16*32 here -> <0.2% relative)."""
+    """Running means AND vars compared tight: BatchNorm2D stores the
+    torch-style unbiased running var (models/norms.py), so both sides
+    lerp the same estimator."""
     from diga_tpu.models.convert import segmodel_to_torch
 
     sd_jax = segmodel_to_torch(_zero_params(), jax.tree_util.tree_map(
