@@ -39,6 +39,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "values parse as JSON when possible, else raw strings "
                         "(e.g. --extra photometric=kornia --extra "
                         "fuse_forwards=true)")
+    p.add_argument("--parity", action="store_true",
+                   help="pin EVERY documented deviation knob (docs/PARITY.md) "
+                        "to the reference-faithful setting at once: "
+                        "photometric=kornia, compute_dtype=float32, and any "
+                        "--extra tgt_stats_forward override is dropped "
+                        "(restoring the reference per-stage semantics). Wins "
+                        "over conflicting --compute_dtype/--extra values so "
+                        "a 'parity' run always means one thing.")
     return p
 
 
@@ -56,15 +64,23 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["compute_dtype"] = args.compute_dtype
     if getattr(args, "seed", None) is not None:
         train_kw["seed"] = args.seed
-    extra = dict(cfg.extra)
+    cli_extra = {}
     for item in getattr(args, "extra", []) or []:
         key, sep, raw = item.partition("=")
         if not sep:
             raise SystemExit(f"--extra expects KEY=VALUE, got {item!r}")
         try:
-            extra[key] = json.loads(raw)
+            cli_extra[key] = json.loads(raw)
         except json.JSONDecodeError:
-            extra[key] = raw
+            cli_extra[key] = raw
+    if getattr(args, "parity", False):
+        # one switch == all reference-faithful knobs (docs/PARITY.md):
+        # kornia photometric chain, f32 compute, and the reference's
+        # per-stage tgt_stats_forward semantics (preset default)
+        cli_extra.pop("tgt_stats_forward", None)
+        cli_extra["photometric"] = "kornia"
+        train_kw["compute_dtype"] = "float32"
+    extra = {**cfg.extra, **cli_extra}
     return dataclasses.replace(
         cfg,
         data=dataclasses.replace(cfg.data, **data_kw),

@@ -9,6 +9,8 @@ import pytest
 from diga_tpu.cli.common import apply_overrides, base_parser
 from diga_tpu.configs.presets import PRESETS, get_preset
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 class TestPresetPlumbing:
     def test_all_presets_resolve(self):
@@ -89,6 +91,39 @@ class TestPresetPlumbing:
                              "--extra", "remat=true"])
         model = make_model(apply_overrides(get_preset(args.preset), args))
         assert model.remat is True
+
+    def test_parity_switch_pins_every_deviation_knob(self):
+        """--parity (VERDICT r4 #4) pins ALL docs/PARITY.md deviation
+        knobs at once and wins over conflicting flags, so a published
+        'parity' number can't silently carry a deviation."""
+        p = base_parser("t")
+        # --parity alone: kornia chain + f32 compute
+        args = p.parse_args(["--preset", "gta2city_warmup", "--parity"])
+        cfg = apply_overrides(get_preset(args.preset), args)
+        assert cfg.extra["photometric"] == "kornia"
+        assert cfg.train.compute_dtype == "float32"
+
+        # conflicting flags lose: bf16 request + diga chain + the
+        # tgt_stats_forward opt-out are all overridden/dropped
+        args = p.parse_args([
+            "--preset", "gta2city_warmup", "--parity",
+            "--compute_dtype", "bfloat16",
+            "--extra", "photometric=diga",
+            "--extra", "tgt_stats_forward=false",
+        ])
+        cfg = apply_overrides(get_preset(args.preset), args)
+        assert cfg.extra["photometric"] == "kornia"
+        assert cfg.train.compute_dtype == "float32"
+        assert "tgt_stats_forward" not in cfg.extra  # preset semantics
+        from diga_tpu.train.build import make_step_config
+        assert make_step_config(cfg).tgt_stats_forward is True
+
+        # without --parity nothing is pinned (defaults documented in
+        # PARITY.md stay the defaults)
+        args = p.parse_args(["--preset", "gta2city_warmup"])
+        cfg = apply_overrides(get_preset(args.preset), args)
+        assert cfg.extra.get("photometric", "diga") == "diga"
+        assert cfg.train.compute_dtype == "bfloat16"
 
 
 class TestOfflineTools:
