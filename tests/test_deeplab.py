@@ -13,6 +13,8 @@ from diga_tpu.models.resnet_deeplab import (
     max_pool_ceil,
 )
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

@@ -22,6 +22,8 @@ from diga_tpu.data.label_maps import CITYSCAPES_COLORS_19, make_png_palette
 from diga_tpu.train.build import build_experiment
 from diga_tpu.train.loop import run_training
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def write_pseudo_pngs(city_root: str, img_list: str, h: int, w: int, seed=0):
     """Palette pseudo-label PNGs named like the reference generator's

@@ -25,6 +25,8 @@ from diga_tpu.data import synthetic
 from diga_tpu.train.build import build_experiment, export_state_role_keyed
 from diga_tpu.train.loop import run_training
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg(tmp_path_factory):

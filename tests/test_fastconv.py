@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from diga_tpu.ops.fastconv import conv_same_s1, _plain_conv
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 RNG = np.random.default_rng(5)
 
 

@@ -15,6 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def test_gate1_confusion_matches_torch_replay(tmp_path, monkeypatch):
     from diga_tpu.cli.parity_check import main as parity_main

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from diga_tpu.models.hrnet_ocr import HRNet, HRNetOCR, OCRHead
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 TINY = {
     "stem_channels": 8,
     "stage1_blocks": 1,

@@ -17,6 +17,8 @@ from diga_tpu.models.convert_hrnet import hrnet_ocr_to_torch
 from diga_tpu.models.hrnet_ocr import HRNetOCR
 from diga_tpu.models.torch_replay import hrnet_ocr_forward_torch
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 TINY = {
     "stem_channels": 8,
     "stage1_blocks": 2,

@@ -9,6 +9,8 @@ from PIL import Image
 from diga_tpu.cli import make_viz
 from diga_tpu.data.label_maps import CITYSCAPES_COLORS_19, decode_segmap
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def _fixture(tmp_path, n=2, h=24, w=32):
     img_root = tmp_path / "imgs"

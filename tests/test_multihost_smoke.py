@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def _free_port():
     s = socket.socket()

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from diga_tpu.ops.losses import distillation_loss
 from diga_tpu.ops.pallas_kernels import distillation_loss_pallas
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 RNG = np.random.default_rng(3)
 
 

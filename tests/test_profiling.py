@@ -5,6 +5,8 @@ import pytest
 from diga_tpu.utils.profiling import (ProfileReport, op_category, parse_trace,
                                       profile_step)
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def test_op_category_families():
     assert op_category("%fusion.13 = ...") == "fusion"

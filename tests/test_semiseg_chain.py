@@ -21,6 +21,8 @@ from diga_tpu.configs.presets import (
 )
 from diga_tpu.train.build import build_experiment, export_state_role_keyed
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 TINY = {
     "stem_channels": 8,
     "stage1_blocks": 1,

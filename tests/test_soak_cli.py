@@ -18,6 +18,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def _run_soak(work, preset, steps):
     env = dict(os.environ, JAX_PLATFORMS="cpu")

@@ -7,6 +7,8 @@ import pytest
 
 from diga_tpu.ops.space_to_batch import batch_to_space, space_to_batch
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 class TestTransform:
     def test_roundtrip(self):

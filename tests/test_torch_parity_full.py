@@ -13,6 +13,8 @@ from diga_tpu.models.convert import segmodel_to_torch
 from diga_tpu.models.resnet_deeplab import DeepLabV2
 from diga_tpu.models.torch_replay import segmodel_forward_torch
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 LAYERS = (1, 1, 1, 1)
 
 

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 def test_realdepth_forward_matches_torch_replay():
     pytest.importorskip("torch")

@@ -21,6 +21,8 @@ from diga_tpu.train.schedules import poly_schedule
 from diga_tpu.train.state import create_seg_state
 from diga_tpu.train.steps import StepConfig, build_dg_step, build_selftrain_step, build_warmup_step
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 CROP = (32, 64)
 NCLS = 19
 

@@ -22,6 +22,8 @@ from diga_tpu.train.steps_translator import (
     create_translator_state,
 )
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 CROP = (32, 64)
 
 

@@ -20,6 +20,8 @@ from diga_tpu.models.convert_translator import (
 )
 from diga_tpu.models import torch_replay
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 CROP = (32, 64)
 TOL = dict(atol=1e-4, rtol=1e-4)
 

@@ -13,6 +13,8 @@ from diga_tpu.configs.presets import get_preset
 from diga_tpu.data import bdd_dataset, mapillary_dataset, synthia_dataset, synthetic
 from diga_tpu.data.transforms import Compose, RandomSizedAndCrop
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 
 class TestSynthia:
     def test_loader_uint16_labels(self, tmp_path):

@@ -20,6 +20,8 @@ import torch.nn.functional as F
 
 from diga_tpu.models.vgg import VGG19Features, vgg19_from_torch, vgg_perceptual_loss
 
+pytestmark = pytest.mark.slow  # quick tier: pytest -m 'not slow'
+
 # torchvision vgg19.features conv channel plan with pool positions
 # (reference Vgg19 slices cover features[0:30] = conv1_1 .. relu5_1)
 PLAN = [64, 64, "P", 128, 128, "P", 256, 256, 256, 256, "P",
