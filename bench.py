@@ -236,11 +236,30 @@ def main():
         import subprocess
         import sys
 
+        stages = {}
         for name in STAGES:
-            subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", name,
                  "--eval_gn_impl", args.eval_gn_impl],
-                check=True)
+                capture_output=True, text=True)
+            sys.stderr.write(proc.stderr)
+            print(proc.stdout, end="", flush=True)
+            if proc.returncode != 0:
+                raise SystemExit(
+                    f"stage {name} failed rc={proc.returncode} "
+                    "(its stderr is above)")
+            # last stdout line is the stage's JSON record (earlier lines may
+            # be library noise); aggregate them machine-readably (VERDICT r4
+            # #7) so per-stage regressions diff between rounds without prose
+            stages[name] = json.loads(proc.stdout.strip().splitlines()[-1])
+        # NOTE: do not touch jax.devices() here — the parent would seize the
+        # TPU before the per-stage child processes run
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_stages.json")
+        with open(out, "w") as f:
+            json.dump({"stages": stages}, f, indent=1)
+            f.write("\n")
+        print(f"wrote {out}", flush=True)
         return
     STAGES[args.stage](eval_gn_impl=args.eval_gn_impl)
 

@@ -80,9 +80,14 @@ class BatchNorm2D(nn.Module):
                 m = self.momentum
                 # torch _BatchNorm stores the UNBIASED variance (n/(n-1))
                 # in running_var while normalizing with the biased one
-                # (seg_model_noaux.py:63-76 consumes these in eval mode);
-                # n_valid is static, so this is a compile-time constant.
-                bessel = n_valid / (n_valid - 1.0) if n_valid > 1 else 1.0
+                # (seg_model_noaux.py:63-76 consumes these in eval mode).
+                # n_valid is a Python float at the call sites, but under
+                # nn.remat it arrives as a TRACER (jax.checkpoint treats
+                # all array-like args as dynamic), so the factor must be
+                # computed trace-safely; XLA constant-folds it whenever
+                # n_valid is concrete.
+                n = jnp.asarray(n_valid, jnp.float32)
+                bessel = jnp.where(n > 1.0, n / jnp.maximum(n - 1.0, 1.0), 1.0)
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var * bessel
         else:

@@ -137,6 +137,46 @@ class TestModelEquivalence:
             g_ref, g_s2b,
         )
 
+    def test_remat_masked_s2b_grad_compiles(self):
+        """remat x masked-s2b: n_valid reaches BatchNorm2D as a TRACER
+        (jax.checkpoint makes float args dynamic) — the r4 Bessel branch
+        raised TracerBoolConversionError in exactly this combination (the
+        production gta2city_selftrain program; caught by bench.py r5)."""
+        from diga_tpu.models.resnet_deeplab import DeepLabV2
+
+        rng = jax.random.PRNGKey(0)
+        kw = dict(num_classes=5, layers=(1, 1, 1, 1))
+        x = jnp.asarray(
+            np.random.default_rng(2).normal(size=(1, 40, 72, 3)).astype(np.float32)
+        )  # layer3 grid 5x9: odd -> masked s2b path
+        m_ref = DeepLabV2(s2b=True, remat=False, **kw)
+        m_rmt = DeepLabV2(s2b=True, remat=True, **kw)
+        variables = m_ref.init({"params": rng, "dropout": rng}, x, train=False)
+
+        def loss_and_stats(params, model):
+            def f(p):
+                outs, mut = model.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    x, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean(outs[2] ** 2), mut["batch_stats"]
+
+            (val, stats), grads = jax.value_and_grad(f, has_aux=True)(params)
+            return val, stats, grads
+
+        v0, s0, g0 = loss_and_stats(variables["params"], m_ref)
+        v1, s1, g1 = loss_and_stats(variables["params"], m_rmt)
+        np.testing.assert_allclose(v0, v1, rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+            s0, s1,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+            g0, g1,
+        )
+
     def test_odd_shapes_keep_output_shape(self):
         """masked-pad path preserves the dilated path's output shapes."""
         from diga_tpu.models.resnet_deeplab import DeepLabV2
