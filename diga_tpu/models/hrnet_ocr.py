@@ -65,19 +65,48 @@ W32 = {
 }
 
 
+def _padded(f: int, pad_to: int) -> int:
+    """Round f up to a multiple of pad_to (0 = no padding)."""
+    return -(-f // pad_to) * pad_to if pad_to else f
+
+
 class ConvBN(nn.Module):
+    """conv + BN (+ReLU), with an optional channel-padding compute layout.
+
+    ``pad_to > 0`` (the HRNet branch-padding perf knob — docs/PERF.md):
+    activations flow physically zero-padded so the channel (lane) axis is
+    a multiple of ``pad_to``; ``in_ch`` is then the LOGICAL input channel
+    count.  Params keep their logical shapes — kernels are zero-padded
+    functionally at apply (padded-in slices meet all-zero activations,
+    padded-out slices are zero kernels), so outputs' valid channels and
+    every parameter gradient match the unpadded module exactly and
+    checkpoints are layout-independent.
+    """
+
     features: int
     kernel: int = 3
     stride: int = 1
     relu: bool = True
     dtype: Dtype = jnp.float32
+    in_ch: int | None = None
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
+        f_phys = _padded(self.features, self.pad_to)
+        if self.pad_to and self.in_ch is None:
+            raise ValueError("ConvBN: pad_to requires in_ch (logical input)")
         if self.kernel == 3 and self.stride == 1:
             # fast custom input-gradient path (ops/fastconv.py); the child
             # module keeps nn.Conv's 'conv/kernel' param naming
-            x = _FastConvChild(self.features, dtype=self.dtype, name="conv")(x)
+            x = _FastConvChild(self.features, dtype=self.dtype,
+                               in_ch=self.in_ch, out_phys=f_phys,
+                               name="conv")(x)
+        elif self.pad_to and (self.in_ch != x.shape[-1]
+                              or f_phys != self.features):
+            x = _PlainConvChild(self.features, self.kernel, self.stride,
+                                dtype=self.dtype, in_ch=self.in_ch,
+                                out_phys=f_phys, name="conv")(x)
         else:
             p = self.kernel // 2
             x = nn.Conv(self.features, (self.kernel, self.kernel),
@@ -85,12 +114,24 @@ class ConvBN(nn.Module):
                         padding=[(p, p), (p, p)], use_bias=False,
                         dtype=self.dtype, name="conv")(x)
         # BatchNorm2D: nn.BatchNorm variable layout, stats without f32
-        # activation copies (models/norms.py)
+        # activation copies (models/norms.py); logical-width variables
+        # when the activation is channel-padded
         from .norms import BatchNorm2D
 
         x = BatchNorm2D(momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                        dtype=self.dtype, name="bn")(x, train)
+                        dtype=self.dtype,
+                        features=self.features if f_phys != self.features
+                        else None, name="bn")(x, train)
         return nn.relu(x) if self.relu else x
+
+
+def _pad_kernel(kernel, in_phys: int, out_phys: int):
+    """Zero-pad a HWIO kernel's in/out dims to the physical widths."""
+    di = in_phys - kernel.shape[2]
+    do = out_phys - kernel.shape[3]
+    if di or do:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, di), (0, do)))
+    return kernel
 
 
 class _FastConvChild(nn.Module):
@@ -98,32 +139,71 @@ class _FastConvChild(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    in_ch: int | None = None
+    out_phys: int | None = None
 
     @nn.compact
     def __call__(self, x):
         from ..ops.fastconv import conv_same_s1
 
+        cin = self.in_ch if self.in_ch is not None else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            (3, 3, x.shape[-1], self.features))
+            (3, 3, cin, self.features))
+        kernel = _pad_kernel(kernel, x.shape[-1], self.out_phys or self.features)
         return conv_same_s1(x.astype(self.dtype), kernel.astype(self.dtype), 1)
 
 
+class _PlainConvChild(nn.Module):
+    """nn.Conv-equivalent (no bias) that supports channel-padded layouts;
+    param named 'kernel' under the same 'conv' scope as nn.Conv."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: Dtype = jnp.float32
+    in_ch: int | None = None
+    out_phys: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = self.in_ch if self.in_ch is not None else x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, cin, self.features))
+        kernel = _pad_kernel(kernel, x.shape[-1], self.out_phys or self.features)
+        p = self.kernel_size // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
-    """3x3+3x3 residual unit (hrnet_module.py:228-262)."""
+    """3x3+3x3 residual unit (hrnet_module.py:228-262).
+
+    ``in_ch``/``pad_to``: channel-padded compute layout (see ConvBN)."""
 
     features: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    in_ch: int | None = None
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
-        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype, name="conv1")(x, train)
-        y = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype, name="conv2")(y, train)
-        if self.stride != 1 or x.shape[-1] != self.features:
+        in_log = self.in_ch if self.in_ch is not None else x.shape[-1]
+        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
+                   in_ch=self.in_ch, pad_to=self.pad_to, name="conv1")(x, train)
+        y = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype,
+                   in_ch=self.features if self.pad_to else None,
+                   pad_to=self.pad_to, name="conv2")(y, train)
+        if self.stride != 1 or in_log != self.features:
             residual = ConvBN(self.features, 1, self.stride, relu=False,
-                              dtype=self.dtype, name="downsample")(x, train)
+                              dtype=self.dtype, in_ch=self.in_ch,
+                              pad_to=self.pad_to, name="downsample")(x, train)
         return nn.relu(y + residual)
 
 
@@ -156,14 +236,18 @@ class HRModule(nn.Module):
     channels: Sequence[int]
     num_blocks: int
     dtype: Dtype = jnp.float32
+    pad_to: int = 0  # channel-padded compute layout (see ConvBN)
 
     @nn.compact
     def __call__(self, xs: list, train: bool) -> list:
         n = len(self.channels)
+        pt = self.pad_to
         ys = []
         for i, x in enumerate(xs):
             for b in range(self.num_blocks):
                 x = BasicBlock(self.channels[i], dtype=self.dtype,
+                               in_ch=self.channels[i] if pt else None,
+                               pad_to=pt,
                                name=f"branch{i}_block{b}")(x, train)
             ys.append(x)
 
@@ -177,6 +261,7 @@ class HRModule(nn.Module):
                     # lower-res -> 1x1 conv + BN, bilinear upsample (run in
                     # the compute dtype: backbone-internal, see resize.py)
                     v = ConvBN(self.channels[i], 1, 1, relu=False, dtype=self.dtype,
+                               in_ch=self.channels[j] if pt else None, pad_to=pt,
                                name=f"fuse{i}_{j}")(ys[j], train)
                     v = resize_bilinear(v, ys[i].shape[1:3], align_corners=True,
                                         compute_dtype=self.dtype)
@@ -187,6 +272,8 @@ class HRModule(nn.Module):
                         last = k == i - j - 1
                         ch = self.channels[i] if last else self.channels[j]
                         v = ConvBN(ch, 3, 2, relu=not last, dtype=self.dtype,
+                                   in_ch=self.channels[j] if pt else None,
+                                   pad_to=pt,
                                    name=f"fuse{i}_{j}_{k}")(v, train)
                 acc = v if acc is None else acc + v
             fused.append(nn.relu(acc))
@@ -210,6 +297,12 @@ class HRNet(nn.Module):
     # HRNet has ~470 BN applications/step counting recompute (docs/PERF.md)
     # at trivial memory cost.  None = plain remat.
     remat_policy: str | None = None
+    # channel-padded compute layout (docs/PERF.md semiseg attribution):
+    # 0 = off; 64 rounds the 48/96-ch branch tensors up to 64/128 physical
+    # channels (TPU lane-occupancy / layout-copy experiment).  Math,
+    # gradients, and checkpoints are exactly those of the unpadded model
+    # (zero-padded kernels/affines — see ConvBN).
+    pad_to: int = 0
 
     def _remat_stage(self, si: int) -> bool:
         if isinstance(self.remat, (tuple, list)):
@@ -236,32 +329,44 @@ class HRNet(nn.Module):
             x = Bottleneck(a["stage1_channels"], dtype=self.dtype,
                            name=f"stage1_block{b}")(x, train)
 
+        pt = self.pad_to
         xs = [x]
+        log_chs = [x.shape[-1]]  # logical channel widths (phys may be padded)
         for si, (num_modules, num_blocks, channels) in enumerate(a["stages"], start=2):
             # transition (hrnet_module.py:427-465)
             new_xs = []
             for i, ch in enumerate(channels):
                 if i < len(xs):
-                    if xs[i].shape[-1] != ch:
+                    if log_chs[i] != ch:
                         new_xs.append(ConvBN(ch, 3, 1, dtype=self.dtype,
+                                             in_ch=log_chs[i] if pt else None,
+                                             pad_to=pt,
                                              name=f"trans{si}_{i}")(xs[i], train))
                     else:
                         new_xs.append(xs[i])
                 else:
                     v = xs[-1]
+                    in_log = log_chs[-1]
                     for j in range(i + 1 - len(xs)):
                         last = j == i - len(xs)
-                        out_ch = ch if last else xs[-1].shape[-1]
+                        out_ch = ch if last else log_chs[-1]
                         v = ConvBN(out_ch, 3, 2, dtype=self.dtype,
+                                   in_ch=in_log if pt else None, pad_to=pt,
                                    name=f"trans{si}_{i}_{j}")(v, train)
+                        in_log = out_ch
                     new_xs.append(v)
             xs = new_xs
+            log_chs = list(channels)
             module_cls = self._remat_cls() if self._remat_stage(si) else HRModule
             for m in range(num_modules):
                 xs = module_cls(channels, num_blocks, dtype=self.dtype,
+                                pad_to=pt,
                                 name=f"stage{si}_module{m}")(xs, train)
 
-        # upsample all to branch-0 resolution and concat (:521-538)
+        # upsample all to branch-0 resolution and concat (:521-538); slice
+        # the channel padding back to logical widths first
+        if pt:
+            xs = [v[..., :c] for v, c in zip(xs, log_chs)]
         hw = xs[0].shape[1:3]
         ups = [xs[0]] + [resize_bilinear(v, hw, align_corners=True,
                                          compute_dtype=self.dtype)
@@ -344,12 +449,14 @@ class HRNetOCR(nn.Module):
     remat: Any = False  # True | False | tuple of "stage2".."stage4"
     remat_policy: str | None = None  # see HRNet.remat_policy
     droprate: float = 0.05  # see OCRHead.droprate
+    pad_to: int = 0  # see HRNet.pad_to (channel-padded compute layout)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         arch = W48 if self.arch_name == "w48" else W32
         feats = HRNet(arch=arch, dtype=self.dtype, remat=self.remat,
-                      remat_policy=self.remat_policy, name="hrnet")(x, train)
+                      remat_policy=self.remat_policy, pad_to=self.pad_to,
+                      name="hrnet")(x, train)
         aux, logits, aug = OCRHead(
             self.num_classes, arch["ocr_mid_channels"], arch["ocr_key_channels"],
             dtype=self.dtype, droprate=self.droprate, name="ocr")(feats, train)

@@ -39,16 +39,28 @@ Dtype = Any
 
 
 class BatchNorm2D(nn.Module):
-    """BatchNorm over NHWC axis (0,1,2); nn.BatchNorm variable layout."""
+    """BatchNorm over NHWC axis (0,1,2); nn.BatchNorm variable layout.
+
+    ``features`` (optional) is the LOGICAL channel count when the input
+    arrives physically zero-padded on the channel axis (the HRNet branch
+    channel-padding knob, models/hrnet_ocr.py ``pad_to``): variables keep
+    the logical size so checkpoints are layout-independent; at apply the
+    affine/stats are zero-padded functionally (scale 0, bias 0, mean 0,
+    var 1), which maps padded channels to exactly 0 and leaves valid
+    channels bit-compatible with the unpadded module.
+    """
 
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    features: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jnp.ndarray | None = None,
                  n_valid: float | None = None):
-        c = x.shape[-1]
+        c_phys = x.shape[-1]
+        c = self.features if self.features is not None else c_phys
+        dp = c_phys - c  # physical zero-padding on the channel axis
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -88,15 +100,24 @@ class BatchNorm2D(nn.Module):
                 # n_valid is concrete.
                 n = jnp.asarray(n_valid, jnp.float32)
                 bessel = jnp.where(n > 1.0, n / jnp.maximum(n - 1.0, 1.0), 1.0)
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var * bessel
+                # batch stats were reduced at the PHYSICAL width; only the
+                # logical slice is stored (padded channels are all-zero)
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean[:c]
+                ra_var.value = m * ra_var.value + (1 - m) * var[:c] * bessel
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        scale_a, bias_a = scale, bias
+        if dp:
+            if mean.shape[0] != c_phys:  # eval mode: stored stats are logical
+                mean = jnp.pad(mean, (0, dp))
+                var = jnp.pad(var, (0, dp), constant_values=1.0)
+            scale_a = jnp.pad(scale, (0, dp))
+            bias_a = jnp.pad(bias, (0, dp))
         y = (x - mean.astype(self.dtype)) * (
             jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
-            * scale.astype(self.dtype)
-        ) + bias.astype(self.dtype)
+            * scale_a.astype(self.dtype)
+        ) + bias_a.astype(self.dtype)
         if mask is not None:
             # keep the "pads are zero before every 3x3 conv" invariant
             # (1x1 convs and relu preserve zeros; BN does not)

@@ -47,7 +47,11 @@ def make_model(cfg: ExperimentConfig):
                         # backward recompute skips re-reducing full
                         # activations (HRNet.remat_policy; measured A/B in
                         # docs/PERF.md)
-                        remat_policy=cfg.extra.get("remat_policy"))
+                        remat_policy=cfg.extra.get("remat_policy"),
+                        # --extra hrnet_pad=64: channel-padded compute
+                        # layout for the 48/96-ch branches (HRNet.pad_to;
+                        # layout-copy experiment, docs/PERF.md)
+                        pad_to=int(cfg.extra.get("hrnet_pad", 0)))
     layers = tuple(cfg.extra.get("layers", (3, 4, 23, 3)))  # tiny-depth for tests
     return DeepLabV2(num_classes=cfg.train.num_classes, dtype=dtype,
                      layers=layers, remat=remat,

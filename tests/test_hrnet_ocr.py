@@ -93,6 +93,60 @@ class TestHRNet:
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-5, atol=1e-6)
 
+    def test_channel_padding_matches(self):
+        """pad_to (channel-padded compute layout, the TPU lane-occupancy
+        experiment — docs/PERF.md semiseg attribution) is numerically the
+        unpadded model: same param/stat shapes (checkpoints are
+        layout-independent), same outputs, grads, and running stats.
+        pad_to=32 pads the 8/16-ch TINY branches to 32 and leaves the
+        32/64-ch branches alone (mixed padded/unpadded fusion convs).
+
+        Compared in float64 where the transformation is BIT-exact.  In
+        f32 the padded convs reassociate their channel reductions
+        (~1e-7 seeds) and this random-init tiny net's BN chains amplify
+        that to O(1) over 3 stages (measured ~20x per BN+fuse layer) —
+        float noise, not semantics, so f32 comparison is meaningless
+        here."""
+        k = jax.random.PRNGKey(0)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3),
+                                  dtype=jnp.float64)
+            base = HRNet(arch=TINY, dtype=jnp.float64)
+            padded = HRNet(arch=TINY, dtype=jnp.float64, pad_to=32)
+            variables = base.init(k, x, train=False)
+            v_pad = padded.init(k, x, train=False)
+            assert jax.tree_util.tree_map(jnp.shape, variables) == \
+                jax.tree_util.tree_map(jnp.shape, v_pad)
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float64), variables)
+
+            def run(model):
+                def f(params):
+                    out, mut = model.apply(
+                        {"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"])
+                    return jnp.sum(out ** 2), mut
+                (val, mut), grad = jax.value_and_grad(f, has_aux=True)(
+                    variables["params"])
+                return val, grad, mut["batch_stats"]
+
+            ref, got = run(base), run(padded)
+            assert np.allclose(float(got[0]), float(ref[0]), rtol=1e-12)
+            for part_ref, part_got in zip(ref[1:], got[1:]):
+                for a, b in zip(jax.tree_util.tree_leaves(part_ref),
+                                jax.tree_util.tree_leaves(part_got)):
+                    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                               rtol=1e-10, atol=1e-12)
+            # eval mode consumes the (logical-width) running stats
+            e_ref = base.apply(variables, x, train=False)
+            e_got = padded.apply(variables, x, train=False)
+            np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_ref),
+                                       rtol=1e-10, atol=1e-12)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
     def test_train_updates_bn(self):
         model = HRNet(arch=TINY)
         k = jax.random.PRNGKey(0)
