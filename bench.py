@@ -79,35 +79,24 @@ def _time_loop(step, state, batch):
     return (time.perf_counter() - t0) / N_IT
 
 
-def _synth_batch(rr, cfg):
-    from diga_tpu.train.build import wants_target
+def bench_preset(preset_name, metric, extra=None):
+    import dataclasses
 
-    h, w = cfg.train.crop_hw
-    bs = sum(s.batch for s in cfg.data.source_streams)
-    bt = sum(s.batch for s in cfg.data.target_streams)
-    ncls = cfg.train.num_classes
-    batch = {
-        "s_img": jnp.asarray(rr.normal(size=(bs, h, w, 3)).astype(np.float32) * 0.5),
-        "s_lbl": jnp.asarray(rr.integers(0, ncls, size=(bs, h, w)).astype(np.int32)),
-    }
-    if wants_target(cfg):
-        batch["t_img"] = jnp.asarray(rr.normal(size=(bt, h, w, 3)).astype(np.float32) * 0.5)
-    if cfg.stage == "selftrain":
-        batch["t_pseudo"] = jnp.asarray(rr.integers(0, ncls, size=(bt, h, w)).astype(np.int32))
-    return batch
-
-
-def bench_preset(preset_name, metric):
     from diga_tpu.configs import presets
     from diga_tpu.train.build import build_experiment
+    from diga_tpu.utils.synth import synth_batch
 
     cfg = presets.get_preset(preset_name)
+    if extra:
+        cfg = dataclasses.replace(cfg, extra={**cfg.extra, **extra})
     state, step, _, _ = build_experiment(cfg)
-    rr = np.random.default_rng(0)
-    batch = _synth_batch(rr, cfg)
+    batch = synth_batch(cfg)
     dt = _time_loop(step, state, batch)
     n_src = batch["s_img"].shape[0]
-    _emit(metric, n_src / dt, {"ms_per_step": round(dt * 1e3, 1)})
+    rec = {"ms_per_step": round(dt * 1e3, 1)}
+    if extra:
+        rec["extra"] = extra  # A/B lines say what they measured
+    _emit(metric, n_src / dt, rec)
 
 
 def bench_translator():
@@ -206,14 +195,18 @@ STAGES = {
     # every train stage builds through build_experiment(preset): the bench
     # measures the exact program `--preset <name>` ships (VERDICT r3 #1)
     "warmup": lambda **kw: bench_preset(
-        "gta2city_warmup", "gta2city_warmup_train_imgs_per_sec_per_chip"),
+        "gta2city_warmup", "gta2city_warmup_train_imgs_per_sec_per_chip",
+        extra=kw.get("extra")),
     "eval": lambda **kw: bench_eval(gn_impl=kw.get("eval_gn_impl", "xla")),
     "selftrain": lambda **kw: bench_preset(
-        "gta2city_selftrain", "gta2city_selftrain_train_imgs_per_sec_per_chip"),
+        "gta2city_selftrain", "gta2city_selftrain_train_imgs_per_sec_per_chip",
+        extra=kw.get("extra")),
     "semiseg": lambda **kw: bench_preset(
-        "semiseg_1_8_warmup", "semiseg_warmup_train_imgs_per_sec_per_chip"),
+        "semiseg_1_8_warmup", "semiseg_warmup_train_imgs_per_sec_per_chip",
+        extra=kw.get("extra")),
     "dg": lambda **kw: bench_preset(
-        "dg_gta5", "dg_gta5_train_imgs_per_sec_per_chip"),
+        "dg_gta5", "dg_gta5_train_imgs_per_sec_per_chip",
+        extra=kw.get("extra")),
     "translator": lambda **kw: bench_translator(),
 }
 
@@ -227,7 +220,22 @@ def main():
     p.add_argument("--eval_gn_impl", default="xla", choices=["xla", "pallas"],
                    help="GroupNorm impl for --stage eval (reproduces the "
                         "recorded Pallas-vs-XLA A/B, docs/PERF.md)")
+    p.add_argument("--extra", action="append", default=[], metavar="KEY=VALUE",
+                   help="preset extra override (repeatable, JSON values) for "
+                        "A/B benches of the train stages, e.g. "
+                        "--extra hrnet_pad=64 --extra tgt_stats_forward=false; "
+                        "ignored by --stage eval/translator and NOT forwarded "
+                        "by --stage all (A/Bs are per-stage runs)")
     args = p.parse_args()
+    extra = {}
+    for item in args.extra:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--extra expects KEY=VALUE, got {item!r}")
+        try:
+            extra[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            extra[key] = raw
     if args.stage == "all":
         # one fresh process per stage: six full-production programs in one
         # process exhaust HBM by accumulation/fragmentation (measured: the
@@ -261,7 +269,7 @@ def main():
             f.write("\n")
         print(f"wrote {out}", flush=True)
         return
-    STAGES[args.stage](eval_gn_impl=args.eval_gn_impl)
+    STAGES[args.stage](eval_gn_impl=args.eval_gn_impl, extra=extra or None)
 
 
 if __name__ == "__main__":

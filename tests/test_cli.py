@@ -276,7 +276,7 @@ class TestCLIImports:
     @pytest.mark.parametrize("mod", [
         "train_seg", "train_warm_up", "train_dg", "train_self_training",
         "train_domain_translator", "pseudolabel_generator", "calc_centroids",
-        "evaluate_val", "parity_check",
+        "evaluate_val", "parity_check", "profile_step",
     ])
     def test_importable_and_has_main(self, mod):
         import importlib

@@ -49,3 +49,35 @@ class TestVisualize:
         path = str(tmp_path / "g" / "grid.jpg")
         save_grid(path, rows)
         assert os.path.exists(path)
+
+
+class TestSynthBatch:
+    """synth_batch (utils/synth.py) feeds bench.py and cli/profile_step —
+    shapes/dtypes must match what data.pipeline.BatchLoader emits."""
+
+    def test_selftrain_shapes(self):
+        from diga_tpu.configs.presets import get_preset
+        from diga_tpu.utils.synth import synth_batch
+
+        cfg = get_preset("gta2city_selftrain")
+        b = synth_batch(cfg)
+        h, w = cfg.train.crop_hw
+        bs = sum(s.batch for s in cfg.data.source_streams)
+        bt = sum(s.batch for s in cfg.data.target_streams)
+        assert b["s_img"].shape == (bs, h, w, 3)
+        assert b["s_lbl"].shape == (bs, h, w) and b["s_lbl"].dtype == np.int32
+        assert b["t_img"].shape == (bt, h, w, 3)
+        assert b["t_pseudo"].shape == (bt, h, w)
+        assert int(np.max(np.asarray(b["s_lbl"]))) < cfg.train.num_classes
+
+    def test_warmup_has_target_iff_tgt_stats_forward(self):
+        import dataclasses
+
+        from diga_tpu.configs.presets import get_preset
+        from diga_tpu.utils.synth import synth_batch
+
+        cfg = get_preset("gta2city_warmup")
+        assert "t_img" in synth_batch(cfg)  # preset default: stats forward on
+        off = dataclasses.replace(
+            cfg, extra={**cfg.extra, "tgt_stats_forward": False})
+        assert "t_img" not in synth_batch(off)
