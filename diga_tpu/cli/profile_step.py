@@ -11,11 +11,12 @@ It builds the EXACT shipped program (``build_experiment(preset)``, same
 path as the train CLIs and bench.py), feeds a synthetic batch, captures a
 profiler trace over ``--steps`` steps, and prints
 
-  * the per-op-category device-time table (``utils.profiling.parse_trace``),
-  * the per-component split (model fwd/bwd, translator, optimizer/EMA,
-    aug/mix, loss/resize) via compiled-HLO <-> xplane metadata join
-    (``utils.profiling.attribute_trace``), and
-  * the top-K single ops.
+  * the per-op-category device-time table (``utils.profiling.parse_trace``)
+    and the top-K single ops (always), and
+  * with ``--hlo_out PATH``, the per-component split (model fwd/bwd,
+    translator, optimizer/EMA, aug/mix, loss/resize) via compiled-HLO <->
+    xplane metadata join (``utils.profiling.attribute_trace``) — NOTE
+    this recompiles the program (see the --hlo_out help text).
 
 No datasets needed.  Reference for the methodology: docs/PERF.md "Method".
 """
@@ -37,7 +38,14 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--top_k", type=int, default=25)
     p.add_argument("--trace_dir", default="/tmp/diga_profile")
-    p.add_argument("--hlo_out", default="/tmp/diga_profile_step.hlo")
+    p.add_argument("--hlo_out", default=None,
+                   help="ALSO dump optimized HLO and print the component "
+                        "attribution.  COSTS A FULL RECOMPILE on the axon "
+                        "tunnel: the AOT lower().compile() path does not hit "
+                        "the persistent jit compile cache (measured r5: >15 "
+                        "min for the warm-up program while the jit path "
+                        "replays from cache in ~2 min).  Default: trace-only "
+                        "category table, which is cheap on a warm cache.")
     args = p.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -67,8 +75,10 @@ def main(argv=None):
     state, step, _, _ = build_experiment(cfg)
     batch = synth_batch(cfg)
 
-    hlo = dump_compiled_hlo(step, args.hlo_out, state, batch)
-    print(f"compiled HLO -> {hlo}", flush=True)
+    hlo = None
+    if args.hlo_out:
+        hlo = dump_compiled_hlo(step, args.hlo_out, state, batch)
+        print(f"compiled HLO -> {hlo}", flush=True)
 
     holder = {"state": state}
 
@@ -84,6 +94,8 @@ def main(argv=None):
               f"under {args.trace_dir} for TensorBoard]")
         return
     print(rep.render(top_k=args.top_k))
+    if not hlo:
+        return
     try:
         att = attribute_trace(args.trace_dir, hlo, n_steps=args.steps)
     except RuntimeError as e:  # no tensorflow protos in this env
